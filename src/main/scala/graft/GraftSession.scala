@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the harness's local[32] single-JVM mode but with settings that
+  * transfer to a multi-executor cluster: AQE handles runtime re-planning
+  * (coalescing post-shuffle partitions, skew-join splitting), shuffle
+  * partition count matches local parallelism instead of the 200 default,
+  * and broadcast join threshold is left at default so Catalyst promotes
+  * small dimensions (region/nation/part at test SFs) automatically.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Oracle parity: testdata timestamps are timezone-less; with the session
+      // pinned to UTC their values match DuckDB's. Queries emit timestamps as
+      // formatted strings so parquet logical types never diverge.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(appName, cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

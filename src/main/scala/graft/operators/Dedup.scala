@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline (SURVEY.md X1-X5 and the north-star dedup surface).
+  *
+  * Scale design: every variant is candidate-generation-first. Signatures
+  * (md5 / MinHash / SimHash) are computed row-locally with codegen'd
+  * expressions (no shuffle), then the ONLY shuffle is a groupBy/join on the
+  * signature or band key — so the cost at 100 TB is one exchange keyed by a
+  * short hash, never an all-pairs comparison. Pair verification (Jaccard /
+  * cosine) happens only inside candidate buckets.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles per document (docs shorter than 3 words drop). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t)-3)," +
+          " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))").as("shingles"))
+
+  def defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------ exact
+    QueryDef(
+      "d01_exact_dedup",
+      covers = "X5 X1",
+      oracle = Some("""
+        SELECT h, min(doc_id) AS keep_id, count(*) AS n_dupes
+        FROM (SELECT doc_id, md5(text) AS h FROM documents)
+        GROUP BY h ORDER BY h"""),
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .groupBy("h")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+          .orderBy("h")),
+
+    // ------------------------------------------------------------ n-gram Jaccard
+    // Shingle-set Jaccard over adjacent doc pairs — verifies the similarity
+    // kernel itself; LSH below supplies the scalable candidate generation.
+    QueryDef(
+      "d02_jaccard_pairs",
+      covers = "X5 J4",
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                       len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+        WHERE jaccard > 0.5 ORDER BY id_a"""),
+      build = (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        val a = t.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+        val b = t.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("toks_a"), col("toks_b"))) * 1.0 /
+              size(array_union(col("toks_a"), col("toks_b"))), 6).as("jaccard"))
+          .filter(col("jaccard") > 0.5)
+          .orderBy("id_a")
+      }),
+
+    // ------------------------------------------------------------ MinHash LSH
+    // 8 MinHash signatures (min-md5 under 8 salted hash functions) banded
+    // 4×2; docs sharing any band bucket become candidate pairs. Salted-md5
+    // minima make the signature computable identically in the DuckDB oracle.
+    QueryDef(
+      "d03_minhash_lsh",
+      covers = "X5 north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b))
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bands a JOIN bands c
+          ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id
+        ORDER BY id_a, id_b"""),
+      build = (s, d) => {
+        val sig = shingled(s, d).select(col("doc_id"), expr(
+          "transform(sequence(0, 7), h -> " +
+            "array_min(transform(shingles, s -> " +
+            "md5(cast(concat(cast(h as string), '|', s) as binary)))))").as("sig"))
+        val bands = sig
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, 3), b -> " +
+              "struct(b AS b, md5(cast(concat(sig[2*b], sig[2*b+1]) as binary)) AS bkey))"))
+            .as("band"))
+          .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+        val a = bands.select(col("doc_id").as("id_a"), col("b"), col("bkey"))
+        val c = bands.select(col("doc_id").as("id_b"), col("b"), col("bkey"))
+        a.join(c, Seq("b", "bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ------------------------------------------------------------ SimHash
+    // 64-bit SimHash from xxhash64 token hashes; candidates = equal 16-bit
+    // band + Hamming distance ≤ 16. xxhash64 has no DuckDB twin → rows-only.
+    QueryDef(
+      "d04_simhash_pairs",
+      covers = "X5 north-star",
+      oracle = None,
+      build = (s, d) => {
+        val sim = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+          .withColumn("counts", expr(
+            "aggregate(toks, array_repeat(0, 64), (acc, tk) -> " +
+              "zip_with(acc, sequence(0, 63), (a, b) -> " +
+              "a + IF((shiftright(xxhash64(tk), b) & 1) = 1, 1, -1)))"))
+          .select(col("doc_id"), expr(
+            "aggregate(zip_with(counts, sequence(0, 63), (c, b) -> " +
+              "IF(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), " +
+              "cast(0 as bigint), (acc, x) -> acc | x)").as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> " +
+              "shiftright(simhash, 16*b) & 65535)")).as("bkey"))
+        val a = bands.select(col("doc_id").as("id_a"),
+          col("simhash").as("sh_a"), col("bkey"))
+        val c = bands.select(col("doc_id").as("id_b"),
+          col("simhash").as("sh_b"), col("bkey"))
+        a.join(c, Seq("bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+          .filter(col("hamming") <= 16)
+          .distinct()
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ------------------------------------------------------------ embedding cosine
+    // Near-dup by embedding cosine within label blocks (blocked all-pairs;
+    // the ANN path in Similarity.scala is the no-label variant).
+    QueryDef(
+      "d05_embedding_neardup",
+      covers = "X5 north-star",
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"), col("label"),
+          col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"),
+          col("embedding").as("v_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy("id_a", "id_b")
+      })
+  )
+}

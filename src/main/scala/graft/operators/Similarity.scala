@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (north-star ANN surface).
+  *
+  * Two paths:
+  *   - `s01` brute-force cosine top-k: broadcast the (small) query set,
+  *     score every corpus vector, per-query top-k via window rank. At scale
+  *     the corpus side stays partitioned; only queries move.
+  *   - `s02` LSH-bucketed ANN: 8 deterministic pseudo-random hyperplanes →
+  *     8-bit bucket key; candidates share a bucket, so the corpus scan is
+  *     replaced by a bucket-key equi-join (the 100 TB path — cost is bucket
+  *     density, not corpus size). Hash-derived hyperplanes have no DuckDB
+  *     twin, so this entry is rows-only.
+  */
+object Similarity {
+
+  private val K = 5
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "s01_cosine_topk",
+      covers = "north-star ANN baseline",
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(v, v))), 6) AS cos
+          FROM q, e WHERE vec_id <> qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM scored)
+        SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""),
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val corpus = e.select(col("vec_id"), col("embedding").as("v"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "cos")
+          .orderBy("qid", "rn")
+      }),
+
+    QueryDef(
+      "s02_ann_lsh_topk",
+      covers = "north-star ANN scale path",
+      oracle = None,
+      build = (s, d) => {
+        // Deterministic pseudo-random hyperplane component for (plane b,
+        // dim i): xxhash64-derived value in [-1, 1).
+        val planeExpr =
+          "aggregate(zip_with(embedding, sequence(0, size(embedding)-1)," +
+            " (x, i) -> cast(x as double) *" +
+            " (pmod(xxhash64(concat(cast(%d as string), '_', cast(i as string))), 2000) / 1000.0 - 1.0))," +
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        def bucketed(prefix: String) = {
+          val base = Tables.embeddings(s, d)
+          val projections = (0 until 8).map(b => expr(planeExpr.format(b)))
+          val bucket = projections.zipWithIndex
+            .map { case (p, b) => when(p > 0, 1 << b).otherwise(0) }
+            .reduce(_ + _)
+          base.select(
+            col("vec_id").as(s"${prefix}_id"),
+            col("embedding").as(s"${prefix}_v"),
+            bucket.as("bucket"))
+        }
+        val corpus = bucketed("c")
+        val queries = bucketed("q").filter(col("q_id") < 10)
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+        corpus.join(broadcast(queries), Seq("bucket"))
+          .filter(col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"),
+            round(cosine(col("q_v"), col("c_v")), 6).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("q_id", "rn", "c_id", "cos")
+          .orderBy("q_id", "rn")
+      })
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the quality /
+  * language-ID / token-counting / fingerprinting family a training-data
+  * pipeline runs before filtering at scale (SURVEY.md T10/T11/T17/T18 and the
+  * north-star text-analysis surface).
+  *
+  * Everything here is a per-row projection built from codegen'd string and
+  * higher-order functions: embarrassingly parallel, zero shuffles, filters
+  * and column pruning pushed into the parquet scan — the shape that holds at
+  * 100 TB (score first, shuffle never).
+  */
+object TextAnalysis {
+
+  /** Stopword list shared by the Spark plan and the DuckDB oracle. */
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopArr  = array(stopwords.map(lit): _*)
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def defs: Seq[QueryDef] = Seq(
+    // Language ID by stopword density — the n-gram-free heuristic the V3
+    // crawler cleaner uses (T17); deterministic, hence oracle-checkable.
+    QueryDef(
+      "t01_language_id",
+      covers = "T17",
+      oracle = Some(s"""
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                          t -> list_contains($stopSqlList, t))) * 1.0
+                    / greatest(len(string_split(text, ' ')), 1) > 0.05
+                    THEN 'en' ELSE 'unknown' END AS lang_guess
+        FROM documents ORDER BY doc_id"""),
+      build = (s, d) => {
+        val words = split(lower(col("text")), " ")
+        val nStop = size(filter(words, t => array_contains(stopArr, t)))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            when(nStop * 1.0 / greatest(size(split(col("text"), " ")), lit(1))
+              > 0.05, "en").otherwise("unknown").as("lang_guess"))
+          .orderBy("doc_id")
+      }),
+
+    // Quality scoring: length band + lexical-richness ratio (T18-adjacent).
+    QueryDef(
+      "t02_quality_score",
+      covers = "T18 F6",
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               round(len(list_filter(string_split(text, ' '), w -> len(w) >= 6)) * 1.0
+                     / greatest(len(string_split(text, ' ')), 1), 6) AS long_word_ratio,
+               CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS len_ok
+        FROM documents ORDER BY doc_id"""),
+      build = (s, d) => {
+        val words = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("n_chars"),
+            size(words).as("n_words"),
+            round(size(filter(words, w => length(w) >= 6)) * 1.0 /
+              greatest(size(words), lit(1)), 6).as("long_word_ratio"),
+            when(col("n_chars").between(200, 2000), 1).otherwise(0).as("len_ok"))
+          .orderBy("doc_id")
+      }),
+
+    // Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    // chars/3.7 estimate (the reference's TOKEN_RATIO heuristic, T18).
+    QueryDef(
+      "t03_token_count",
+      covers = "T2 T11 T18",
+      oracle = Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                               x -> len(x) > 0)) AS re_tokens,
+               CAST(ceil(n_chars / 3.7) AS BIGINT) AS est_bpe_tokens
+        FROM documents ORDER BY doc_id"""),
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("ws_tokens"),
+            size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
+              x => length(x) > 0)).as("re_tokens"),
+            ceil(col("n_chars") / 3.7).cast("bigint").as("est_bpe_tokens"))
+          .orderBy("doc_id")),
+
+    // Document fingerprint: md5 of the canonical text form (T16/X5 exact
+    // half) — the key exact-dedup runs on.
+    QueryDef(
+      "t04_fingerprint",
+      covers = "T16 X5",
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id"""),
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+              .cast("binary")).as("fp"))
+          .orderBy("doc_id"))
+  )
+}
