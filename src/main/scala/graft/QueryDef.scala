@@ -24,5 +24,6 @@ object QueryDef {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Pipelines.defs
 }

@@ -1,0 +1,240 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure text kernels behind the engine's string operators (SURVEY.md §2.7).
+  *
+  * All functions are deterministic, allocation-light, and safe to call from
+  * codegen'd UDFs / `mapPartitions` closures. Behavioral contracts follow the
+  * reference implementations cited per function; the code is written fresh
+  * for Spark (no ports).
+  */
+object TextFunctions {
+
+  /** Whitespace token count — the test-mode stand-in for a tokenizer
+    * (the reference counts model-tokenizer tokens; cf.
+    * /root/reference/LLMxMapReduce_V1/Generator.py:301-318). */
+  def whitespaceTokens(s: String): Int = {
+    var n = 0; var inTok = false; var i = 0
+    while (i < s.length) {
+      val ws = s.charAt(i).isWhitespace
+      if (!ws && !inTok) n += 1
+      inTok = !ws
+      i += 1
+    }
+    n
+  }
+
+  /** Char-ratio token estimate — the reference's TOKEN_RATIO heuristic
+    * (/root/reference/LLMxMapReduce_V2/src/data_structure/digest.py:34-38). */
+  def estimateTokens(s: String): Int = math.ceil(s.length / 3.6875).toInt
+
+  /** Sentence split keeping terminal punctuation attached
+    * (cf. Generator.py:134-148). */
+  def splitSentences(s: String): Seq[String] =
+    s.split("(?<=[.!?。！？])\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Token-budget chunker (cf. Generator.py:150-299 `chunk_docs`):
+    * paragraphs are greedily packed into chunks of ≤ `budget` tokens;
+    * an oversized paragraph is re-split by sentence, then by word; a single
+    * word over budget stands alone. After packing, the final two chunks are
+    * rebalanced so the tail chunk is never pathologically small.
+    *
+    * Invariants (spec-tested): every chunk ≤ budget tokens unless it is a
+    * single unbreakable word; concatenating chunks with single spaces
+    * preserves the whitespace-normalized document.
+    */
+  def chunkText(
+      text: String,
+      budget: Int,
+      tokenLen: String => Int = whitespaceTokens): Seq[String] = {
+    require(budget > 0, "budget must be positive")
+    if (text.trim.isEmpty) return Seq.empty
+
+    // 1. break into units no larger than budget (paragraph → sentence → word)
+    def breakUnit(u: String): Seq[String] =
+      if (tokenLen(u) <= budget) Seq(u)
+      else {
+        val sentences = splitSentences(u)
+        if (sentences.length > 1) sentences.flatMap(breakUnit)
+        else {
+          val words = u.split("\\s+").toSeq.filter(_.nonEmpty)
+          if (words.length <= 1) words // single unbreakable token
+          else {
+            // greedy word packing to budget
+            val out = ArrayBuffer.empty[String]
+            val cur = new StringBuilder
+            var curLen = 0
+            words.foreach { w =>
+              val wLen = tokenLen(w)
+              if (curLen + wLen > budget && curLen > 0) {
+                out += cur.toString; cur.clear(); curLen = 0
+              }
+              if (curLen > 0) cur.append(' ')
+              cur.append(w); curLen += wLen
+            }
+            if (cur.nonEmpty) out += cur.toString
+            out.toSeq
+          }
+        }
+      }
+
+    val units = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(breakUnit)
+
+    // 2. greedy pack units
+    val chunks = ArrayBuffer.empty[String]
+    val cur    = new StringBuilder
+    var curLen = 0
+    units.foreach { u =>
+      val uLen = tokenLen(u)
+      if (curLen + uLen > budget && curLen > 0) {
+        chunks += cur.toString; cur.clear(); curLen = 0
+      }
+      if (curLen > 0) cur.append('\n')
+      cur.append(u); curLen += uLen
+    }
+    if (cur.nonEmpty) chunks += cur.toString
+
+    // 3. two-pointer rebalance of the last two chunks (cf. Generator.py's
+    //    tail rebalance): even out if the tail is under half budget.
+    if (chunks.length >= 2 && tokenLen(chunks.last) < budget / 2) {
+      val lastTwo = chunks.takeRight(2).mkString("\n").split("\n").toSeq
+      val total   = lastTwo.map(tokenLen).sum
+      val target  = total / 2
+      var acc     = 0
+      val firstPart = lastTwo.takeWhile { u => acc += tokenLen(u); acc <= target || acc == tokenLen(u) }
+      val secondPart = lastTwo.drop(firstPart.length)
+      if (firstPart.nonEmpty && secondPart.nonEmpty &&
+        tokenLen(firstPart.mkString("\n")) <= budget) {
+        chunks.remove(chunks.length - 2, 2)
+        chunks += firstPart.mkString("\n")
+        chunks += secondPart.mkString("\n")
+      }
+    }
+    chunks.toSeq
+  }
+
+  /** Greedy restart-at-boundary bin packing over ordered lengths
+    * (cf. /root/reference/LLMxMapReduce_V1/utils.py:61-90): cumulative sum
+    * per bin; starting a new element that would exceed `budget` closes the
+    * bin. A single element above budget gets its own bin (the reference
+    * raises; the engine isolates it so the pipeline can degrade per-record).
+    * Returns the bin id per element. Differs from the window running-sum
+    * approximation (q04) exactly when an element crosses a boundary. */
+  def packBins(lengths: Seq[Int], budget: Int): Seq[Int] = {
+    require(budget > 0)
+    var bin = 0; var acc = 0
+    lengths.map { len =>
+      if (acc > 0 && acc + len > budget) { bin += 1; acc = 0 }
+      acc += len
+      bin
+    }
+  }
+
+  /** Title slugify (cf. process_str.py:131-137). */
+  def slugify(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("(^-+)|(-+$)", "")
+
+  /** Answer normalization: articles/punctuation/whitespace
+    * (cf. eval compute_scores.py:16-49). */
+  def normalizeAnswer(s: String): String =
+    s.toLowerCase
+      .replaceAll("\\b(a|an|the)\\b", " ")
+      .replaceAll("[^a-z0-9 ]", "")
+      .replaceAll("\\s+", " ")
+      .trim
+
+  /** Token-bag F1 (cf. compute_scores.py:52-79). */
+  def tokenF1(pred: String, gold: String): Double = {
+    val p = normalizeAnswer(pred).split(" ").filter(_.nonEmpty)
+    val g = normalizeAnswer(gold).split(" ").filter(_.nonEmpty)
+    if (p.isEmpty || g.isEmpty) return if (p.sameElements(g)) 1.0 else 0.0
+    val gCounts = g.groupBy(identity).view.mapValues(_.length).toMap
+    var common = 0
+    val used   = scala.collection.mutable.Map.empty[String, Int]
+    p.foreach { w =>
+      val have = used.getOrElse(w, 0)
+      if (have < gCounts.getOrElse(w, 0)) { common += 1; used(w) = have + 1 }
+    }
+    if (common == 0) 0.0
+    else {
+      val prec = common.toDouble / p.length
+      val rec  = common.toDouble / g.length
+      2 * prec * rec / (prec + rec)
+    }
+  }
+
+  /** Extract the body of a fenced block ```label ... ```
+    * (cf. process_str.py:8-20). */
+  def extractFence(s: String, label: String): Option[String] = {
+    val pat = ("(?s)```" + java.util.regex.Pattern.quote(label) +
+      "\\s*\\n(.*?)```").r
+    pat.findFirstMatchIn(s).map(_.group(1).stripTrailing())
+  }
+
+  /** Parse a markdown heading line `## 1.2 Title` →
+    * (depth, indexText, title) (cf. process_str.py:22-29). */
+  def parseHeading(line: String): Option[(Int, String, String)] = {
+    val m = "^(#+)\\s*([0-9.]*)\\s*(.*)$".r.findFirstMatchIn(line.trim)
+    m.filter(_.group(1).nonEmpty)
+      .map(g => (g.group(1).length, g.group(2), g.group(3).trim))
+  }
+
+  /** SequenceMatcher-style similarity ratio ≈ 2·LCS/(|a|+|b|), implemented
+    * via edit distance: ratio = (|a|+|b|-lev)/(|a|+|b|) — the decision
+    * surface the reference uses for fuzzy bibkey repair
+    * (cf. process_str.py:82-87, threshold 0.8). */
+  def similarityRatio(a: String, b: String): Double = {
+    val total = a.length + b.length
+    if (total == 0) 1.0
+    else (total - levenshtein(a, b)).toDouble / total
+  }
+
+  def levenshtein(a: String, b: String): Int = {
+    val prev = Array.range(0, b.length + 1)
+    val cur  = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Citation scrub (cf. process_str.py:44-110): rewrite `[k1, k2]` citation
+    * groups against the legal bibkey set — keep legal keys, fuzzy-repair
+    * near-misses (ratio > 0.8), drop the rest; `$...$` math spans are
+    * protected from rewriting. Returns the scrubbed text.
+    */
+  def scrubCitations(text: String, legalKeys: Set[String]): String = {
+    // protect math spans
+    val mathPat = "\\$[^$]*\\$".r
+    val saved   = ArrayBuffer.empty[String]
+    val masked = mathPat.replaceAllIn(text, m => {
+      saved += m.matched
+      java.util.regex.Matcher.quoteReplacement(s" MATH${saved.length - 1} ")
+    })
+    val citePat = "\\[([^\\[\\]]+)\\]".r
+    val scrubbed = citePat.replaceAllIn(masked, m => {
+      val keys = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val repaired = keys.flatMap { k =>
+        if (legalKeys.contains(k)) Some(k)
+        else legalKeys.toSeq.sortBy(lk => -similarityRatio(k, lk)).headOption
+          .filter(lk => similarityRatio(k, lk) > 0.8)
+      }.distinct
+      if (repaired.isEmpty) ""
+      else java.util.regex.Matcher.quoteReplacement(repaired.mkString("[", ", ", "]"))
+    })
+    saved.zipWithIndex.foldLeft(scrubbed) { case (acc, (span, i)) =>
+      acc.replace(s" MATH$i ", span)
+    }
+  }
+}

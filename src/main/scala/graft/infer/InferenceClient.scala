@@ -1,0 +1,112 @@
+package graft.infer
+
+/** The single seam between the deterministic relational core and the
+  * stochastic LLM edge (SURVEY.md §5.1, §7 module 3).
+  *
+  * Every `[LLM]`-marked operator from SURVEY.md §2 calls a model through this
+  * trait. Production binds a pooled HTTP client (connection cap ~20, retry
+  * with exponential jitter — the envelope the reference runs, cf.
+  * /root/reference/LLMxMapReduce_V2/request/wrapper.py:17-23 and
+  * request/openai.py:22-27); tests bind [[MockInference]] so the dataflow
+  * around the call stays exactly assertable.
+  *
+  * Implementations must be Serializable: the client ships to executors inside
+  * `mapPartitions` closures (one instance per partition-task, batched calls —
+  * the Spark analogue of the reference's per-stage worker pools).
+  */
+trait InferenceClient extends Serializable {
+  def complete(prompt: String): String
+
+  /** Batched form — override to amortize transport; default is sequential. */
+  def completeBatch(prompts: Seq[String]): Seq[String] = prompts.map(complete)
+}
+
+/** Bounded retry with exponential backoff + deterministic jitter (mirrors the
+  * reference's tenacity policy, cf. async_d/node/node.py:243-249). */
+final class RetryingClient(
+    underlying: InferenceClient,
+    attempts: Int = 5,
+    baseDelayMs: Long = 50L)
+  extends InferenceClient {
+
+  override def complete(prompt: String): String = {
+    var lastErr: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return underlying.complete(prompt)
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          // deterministic jitter: spread retries without a live RNG
+          val jitter = math.abs(prompt.hashCode) % baseDelayMs
+          Thread.sleep((baseDelayMs << i) + jitter)
+      }
+      i += 1
+    }
+    throw lastErr
+  }
+}
+
+/** Deterministic mock model implementing the structured-information protocol
+  * of the reference's V1 map/collapse/reduce prompts
+  * (/root/reference/LLMxMapReduce_V1/config/qa.yaml:19-23): the response
+  * carries `Extracted Information / Answer / Confidence Score` fields.
+  *
+  * Protocol (prompt prefix selects the behavior):
+  *   - `MAP|<question>|<chunk>`: if the chunk contains `ANSWER[<x>]`, answer
+  *     x with confidence 5; else `[NO INFORMATION]` with confidence 1.
+  *   - `COLLAPSE|<item1>\n<item2>...`: merges items — keeps the highest-
+  *     confidence answer, concatenates extracted spans.
+  *   - `REDUCE|<question>|<items>`: final answer = highest-confidence item's
+  *     answer (first wins ties — the reference's 5-point override).
+  *   - anything else: echo with a stable hash, so unknown stages still get
+  *     deterministic output.
+  */
+final class MockInference extends InferenceClient {
+  import MockInference._
+
+  override def complete(prompt: String): String = prompt.split("\\|", 2) match {
+    case Array("MAP", rest) =>
+      val chunk = rest.split("\\|", 2) match {
+        case Array(_, c) => c
+        case _           => rest
+      }
+      AnswerPat.findFirstMatchIn(chunk) match {
+        case Some(m) =>
+          format(extracted = m.matched, answer = m.group(1), confidence = 5)
+        case None =>
+          format(extracted = "", answer = "[NO INFORMATION]", confidence = 1)
+      }
+    case Array("COLLAPSE", items) =>
+      val parsed = items.split("\n---\n").toSeq.map(parse)
+      val best = parsed.maxBy(_._3)
+      format(parsed.map(_._1).filter(_.nonEmpty).mkString(" "), best._2, best._3)
+    case Array("REDUCE", rest) =>
+      val items = rest.split("\\|", 2) match {
+        case Array(_, c) => c
+        case _           => rest
+      }
+      val parsed = items.split("\n---\n").toSeq.map(parse)
+      if (parsed.isEmpty) "[NO INFORMATION]" else parsed.maxBy(_._3)._2
+    case _ =>
+      s"echo:${Integer.toHexString(prompt.hashCode)}"
+  }
+}
+
+object MockInference {
+  private val AnswerPat     = "ANSWER\\[([^\\]]*)\\]".r
+  private val ExtractedPat  = "Extracted Information: (.*)".r
+  private val AnswerLinePat = "Answer: (.*)".r
+  private val ConfPat       = "Confidence Score: (\\d+)".r
+
+  def format(extracted: String, answer: String, confidence: Int): String =
+    s"Extracted Information: $extracted\nAnswer: $answer\nConfidence Score: $confidence"
+
+  /** (extracted, answer, confidence) from a protocol response. */
+  def parse(s: String): (String, String, Int) = {
+    val ex = ExtractedPat.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val an = AnswerLinePat.findFirstMatchIn(s).map(_.group(1)).getOrElse(s)
+    val cf = ConfPat.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+    (ex, an, cf)
+  }
+}
