@@ -88,9 +88,55 @@ final class MockInference extends InferenceClient {
       }
       val parsed = items.split("\n---\n").toSeq.map(parse)
       if (parsed.isEmpty) "[NO INFORMATION]" else parsed.maxBy(_._3)._2
+    // ---- V2 survey-pipeline behaviors (deterministic; SURVEY.md §3.2) ----
+    case Array("OUTLINE", rest) =>
+      // rest = <survey title>|<paper titles csv> → markdown skeleton
+      val parts  = rest.split("\\|", 2)
+      val topic  = parts.head
+      val papers = if (parts.length > 1) parts(1).split(",").map(_.trim).filter(_.nonEmpty) else Array.empty[String]
+      val mid = papers.sorted.map(t => s"## ${cap(t)}").mkString("\n")
+      s"# Introduction to $topic\n$mid\n# Conclusion".replace("\n\n", "\n")
+    case Array("DIGEST", rest) =>
+      // rest = <outline md>|<bibkey>|<paper txt> → outline-shaped digest
+      val Array(outline, bibkey, txt) = rest.split("\\|", 3)
+      outline.linesIterator.map { line =>
+        if (line.startsWith("#"))
+          line + "\n" + s"digest[$bibkey] ${stableTag(txt)}"
+        else ""
+      }.filter(_.nonEmpty).mkString("\n")
+    case Array("SUGGEST", rest) =>
+      val tag   = stableTag(rest)
+      val score = 1 + (math.abs(rest.hashCode) % 5)
+      s"suggestion-$tag\n<SCORE>$score</SCORE>"
+    case Array("MERGE", rest) =>
+      val tags = "suggestion-([0-9a-f]+)".r
+        .findAllMatchIn(rest).map(_.group(1)).toSeq.sorted.distinct
+      s"suggestion-${tags.mkString("+")}\n<SCORE>${1 + math.abs(rest.hashCode) % 5}</SCORE>"
+    case Array("MODIFY", rest) =>
+      // rest = <outline>|<suggestion> → refined outline (still parseable)
+      val Array(outline, suggestion) = rest.split("\\|", 2)
+      val tag = stableTag(suggestion)
+      outline + s"\nrefined-$tag"
+    case Array("EVAL", rest) =>
+      s"<SCORE>${1 + math.abs(rest.hashCode) % 5}</SCORE>"
+    case Array("WRITE", rest) =>
+      // rest = <section title>|<digest text> → section prose with citation
+      val Array(title, digest) = rest.split("\\|", 2)
+      val cites = "digest\\[([^\\]]+)\\]".r
+        .findAllMatchIn(digest).map(_.group(1)).toSeq.distinct.sorted
+      val citeStr = if (cites.isEmpty) "" else cites.mkString(" [", ", ", "]")
+      s"Prose for $title$citeStr."
+    case Array("POLISH", rest) =>
+      rest + " [polished]"
     case _ =>
       s"echo:${Integer.toHexString(prompt.hashCode)}"
   }
+
+  private def cap(s: String): String =
+    if (s.isEmpty) s else s.head.toUpper + s.tail
+
+  private def stableTag(s: String): String =
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s, 42))
 }
 
 object MockInference {

@@ -1,0 +1,312 @@
+package graft.pipeline
+
+import graft.infer.{InferOps, InferenceClient, MockInference}
+import graft.plans.Trees
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The V2 survey-generation pipeline re-expressed as Spark stages
+  * (SURVEY.md §3.2; reference /root/reference/LLMxMapReduce_V2/src/
+  * start_pipeline.py:20-54: encode >> hidden >> decode).
+  *
+  * Stage map (reference → here):
+  *   - encode: JSONL surveys → exploded paper rows (S1/S2/F2), bibkey slugs
+  *   - group: round-robin paper grouping (X3, group_module.py random path)
+  *   - skeleton-init: per-survey outline via inference concat (A5)
+  *   - digest: per-paper outline-shaped extraction (digest_module.py), merged
+  *     per group by section path (A4), shape-checked against the skeleton (J1)
+  *   - refine loop (D5 cycle, driver-controlled): suggestions (feedback
+  *     neurons) → seeded weighted sampling (W6) → kernel merge (A6) → eval
+  *     scores (T13) → top-k prune (W1) → best suggestion modifies skeleton
+  *   - decode: leaf-section writing, bottom-up assembly (D11), polish,
+  *     bibkey→index citation re-key (J2), cite-ratio stat (A8), JSONL out (S3)
+  *
+  * Every stage is `DataFrame => DataFrame` keyed by survey_id: N surveys
+  * pipeline through the same jobs, so cluster scale-out is by survey AND by
+  * paper within survey — no per-survey driver work except the bounded
+  * refine-loop controller.
+  */
+object V2Pipeline {
+
+  final case class Config(
+      nGroups: Int = 2,
+      blockCount: Int = 1,    // D5 loop bound (args.py:21)
+      convLayers: Int = 2,
+      kernelWidth: Int = 2,
+      poolSize: Int = 4,      // result_num
+      topK: Int = 2,
+      seed: Long = 42L)
+
+  // ------------------------------------------------------------------ encode
+  /** surveys(survey_id, title, papers[struct(title, txt)]) → paper rows. */
+  def encode(surveys: DataFrame): DataFrame =
+    surveys
+      .filter(size(col("papers")) > 0) // F2: drop paper-less surveys
+      .select(col("survey_id"), col("title"),
+        posexplode(col("papers")).as(Seq("paper_idx", "paper")))
+      .select(
+        col("survey_id"), col("title"), col("paper_idx"),
+        col("paper.title").as("paper_title"),
+        col("paper.txt").as("paper_txt"),
+        slugCol(col("paper.title")).as("bibkey"))
+      .filter(length(col("paper_txt")) > 0) // F2: drop empty papers
+
+  private def slugCol(c: Column): Column =
+    regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", "-"), "(^-+)|(-+$)", "")
+
+  // ------------------------------------------------------------------- group
+  /** X3 round-robin grouping: deterministic stand-in for the reference's
+    * random/LLM grouping, same cardinality contract. */
+  def group(papers: DataFrame, cfg: Config): DataFrame = {
+    val w = Window.partitionBy("survey_id").orderBy("bibkey")
+    papers.withColumn("group_id",
+      pmod(row_number().over(w) - 1, lit(cfg.nGroups)))
+  }
+
+  // ----------------------------------------------------------- skeleton init
+  /** A5: batch outlines concatenated into one skeleton per survey. */
+  def skeletonInit(papers: DataFrame, client: InferenceClient): DataFrame = {
+    val gathered = papers
+      .groupBy("survey_id", "title")
+      .agg(array_join(array_sort(collect_list(col("paper_title"))), ", ")
+        .as("paper_titles"))
+      .withColumn("prompt",
+        concat(lit("OUTLINE|"), col("title"), lit("|"), col("paper_titles")))
+    InferOps.complete(gathered, "prompt", "skeleton_md", client)
+      .select("survey_id", "title", "skeleton_md")
+  }
+
+  // ------------------------------------------------------------------ digest
+  /** Per-paper digest shaped by the skeleton, merged per group by section
+    * path (A4), then shape-checked (J1). Returns one row per
+    * (survey, group, section). */
+  def digest(
+      papers: DataFrame,
+      skeleton: DataFrame,
+      client: InferenceClient): DataFrame = {
+    val prompts = papers.join(skeleton.select("survey_id", "skeleton_md"), "survey_id")
+      .withColumn("prompt", concat(
+        lit("DIGEST|"), col("skeleton_md"), lit("|"), col("bibkey"),
+        lit("|"), col("paper_txt")))
+    val raw = InferOps.complete(prompts, "prompt", "digest_md", client)
+      .select("survey_id", "group_id", "bibkey", "digest_md")
+
+    // parse digest markdown into section rows (tree-as-rows)
+    val parse = udf((md: String) =>
+      Trees.parseOutline("x", md)
+        .map(r => (r.path, r.depth, r.title, r.description)))
+    val sections = raw
+      .select(col("survey_id"), col("group_id"), col("bibkey"),
+        explode(parse(col("digest_md"))).as("sec"))
+      .select(col("survey_id"), col("group_id"), col("bibkey"),
+        col("sec._1").as("path"), col("sec._2").as("depth"),
+        col("sec._3").as("title"), col("sec._4").as("description"))
+
+    // A4: merge digests of one group section-by-section (bibkey-ordered)
+    val merged = sections
+      .groupBy("survey_id", "group_id", "path", "depth", "title")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(bibkey, description))), p -> p.description)"),
+        "\n---\n").as("description"))
+
+    // J1 contract: every group's digest tree mirrors the skeleton
+    val skeletonSections = skeletonRows(skeleton)
+    val bad = merged.select(col("survey_id"), col("path")).distinct()
+      .join(skeletonSections.select("survey_id", "path"),
+        Seq("survey_id", "path"), "left_anti").count()
+    if (bad > 0)
+      throw new Trees.StructureNotCorrespondingException(
+        s"$bad digest sections have no skeleton counterpart")
+    merged
+  }
+
+  /** Parse each survey's skeleton markdown into section rows. */
+  def skeletonRows(skeleton: DataFrame): DataFrame = {
+    val parse = udf((md: String) =>
+      Trees.parseOutline("x", md)
+        .map(r => (r.path, r.depth, r.title, r.description)))
+    skeleton
+      .select(col("survey_id"), explode(parse(col("skeleton_md"))).as("sec"))
+      .select(col("survey_id"),
+        col("sec._1").as("path"), col("sec._2").as("depth"),
+        col("sec._3").as("title"), col("sec._4").as("description"))
+  }
+
+  // ------------------------------------------------------------- refine loop
+  /** One hidden-stage block: suggestions → convolution layers (sample, merge,
+    * score, prune) → best suggestion modifies the skeleton (D5 loop body). */
+  def refineSkeleton(
+      skeleton: DataFrame,
+      digests: DataFrame,
+      client: InferenceClient,
+      cfg: Config): DataFrame = {
+    // feedback neuron: one scored suggestion per digest group
+    val suggestions0 = InferOps.complete(
+      digests.groupBy("survey_id", "group_id")
+        .agg(array_join(array_sort(collect_list(col("description"))), "\n").as("dg"))
+        .join(skeleton.select("survey_id", "skeleton_md"), "survey_id")
+        .withColumn("prompt",
+          concat(lit("SUGGEST|"), col("skeleton_md"), lit("|"), col("dg"))),
+      "prompt", "raw", client)
+      .select(col("survey_id"), col("raw"))
+      .withColumn("suggestion", col("raw"))
+      .withColumn("score", scoreOf(col("raw")))
+      .drop("raw")
+
+    var pool = suggestions0.localCheckpoint()
+    var layer = 0
+    while (layer < cfg.convLayers) {
+      // W6: seeded weighted sampling without replacement (A-Res keys)
+      val wSample = Window.partitionBy("survey_id")
+        .orderBy(col("ares").desc, col("suggestion"))
+      val sampled = pool
+        .withColumn("ares",
+          pow(rand(cfg.seed + layer), lit(1.0) / greatest(col("score"), lit(1))))
+        .withColumn("rn", row_number().over(wSample))
+        .filter(col("rn") <= cfg.kernelWidth)
+      // A6: kernel merge of the sampled suggestions
+      val merged = InferOps.complete(
+        sampled.groupBy("survey_id")
+          .agg(array_join(array_sort(collect_list(col("suggestion"))), "\n").as("joined"))
+          .withColumn("prompt", concat(lit("MERGE|"), col("joined"))),
+        "prompt", "raw", client)
+        .select(col("survey_id"), col("raw").as("suggestion"),
+          scoreOf(col("raw")).as("score"))
+      // pool ∪ merged, then W1 top-k prune per survey
+      val wRank = Window.partitionBy("survey_id")
+        .orderBy(col("score").desc, col("suggestion"))
+      pool = pool.unionByName(merged)
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= cfg.poolSize)
+        .drop("rn")
+        .localCheckpoint()
+      layer += 1
+    }
+
+    // best suggestion (W2 argmax) modifies the skeleton
+    val best = pool.groupBy("survey_id")
+      .agg(max_by(col("suggestion"), struct(col("score"), col("suggestion")))
+        .as("best_suggestion"))
+    InferOps.complete(
+      skeleton.join(best, "survey_id")
+        .withColumn("prompt", concat(
+          lit("MODIFY|"), col("skeleton_md"), lit("|"), col("best_suggestion"))),
+      "prompt", "new_md", client)
+      .select(col("survey_id"), col("title"), col("new_md").as("skeleton_md"))
+  }
+
+  private def scoreOf(c: Column): Column =
+    coalesce(regexp_extract(c, "<SCORE>(\\d+)</SCORE>", 1).cast("int"), lit(0))
+
+  // ------------------------------------------------------------------ decode
+  /** Write leaves, assemble bottom-up, polish, re-key citations, stats. */
+  def decode(
+      skeleton: DataFrame,
+      digests: DataFrame,
+      papers: DataFrame,
+      client: InferenceClient): DataFrame = {
+    val sections = skeletonRows(skeleton)
+
+    // leaves = sections that are nobody's parent
+    val parents = sections.filter(size(col("path")) > 1)
+      .select(col("survey_id").as("p_survey"),
+        expr("slice(path, 1, size(path)-1)").as("p_path"))
+      .distinct()
+    val leaves = sections.join(parents,
+      col("p_survey") === col("survey_id") && col("p_path") === col("path"),
+      "left_anti")
+
+    // leaf writing (ORCHESTRA): digest material joined by section path,
+    // merged across groups
+    val material = digests
+      .groupBy("survey_id", "path")
+      .agg(array_join(array_sort(collect_list(col("description"))), "\n")
+        .as("material"))
+    val written = InferOps.complete(
+      leaves.join(material, Seq("survey_id", "path"), "left")
+        .withColumn("prompt", concat(
+          lit("WRITE|"), col("title"), lit("|"),
+          coalesce(col("material"), lit("")))),
+      "prompt", "content", client)
+      .select("survey_id", "path", "depth", "title", "content")
+
+    // internal nodes start with their heading; bottom-up assembly (D11)
+    val internals = sections.join(
+      leaves.select(col("survey_id").as("l_survey"), col("path").as("l_path")),
+      col("l_survey") === col("survey_id") && col("l_path") === col("path"),
+      "left_anti")
+      .select(col("survey_id"), col("path"), col("depth"), col("title"),
+        concat(lit("Summary of "), col("title"), lit(".")).as("content"))
+    val assembled = Trees.assembleBottomUp(
+      written.select("survey_id", "path", "depth", "content")
+        .unionByName(internals.select("survey_id", "path", "depth", "content")),
+      (own, kids) => own + "\n" + kids.mkString("\n"))
+
+    // full text per survey = preorder concat of root-level contents
+    val roots = assembled.filter(size(col("path")) === 1)
+      .groupBy("survey_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(path, content))), p -> p.content)"),
+        "\n").as("draft"))
+
+    // POLISH, then J2 citation re-key + A8 cite ratio
+    val polished = InferOps.complete(
+      roots.withColumn("prompt", concat(lit("POLISH|"), col("draft"))),
+      "prompt", "polished", client)
+      .select("survey_id", "polished")
+
+    val paperDim = papers.groupBy("survey_id")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(paper_idx, bibkey))), p -> p.bibkey)")
+          .as("bibkeys"),
+        count(lit(1)).as("n_papers"))
+
+    val rekey = udf((text: String, bibkeys: Seq[String]) => {
+      val idx = bibkeys.zipWithIndex.toMap
+      val cited = scala.collection.mutable.Set.empty[String]
+      val out = "\\[([^\\[\\]]+)\\]".r.replaceAllIn(text, m => {
+        val keys = m.group(1).split(",").map(_.trim).filter(idx.contains)
+        keys.foreach(cited += _)
+        if (keys.isEmpty) m.matched
+        else keys.map(k => idx(k) + 1).sorted.mkString("[", ", ", "]")
+      })
+      (out, cited.size)
+    })
+
+    polished.join(paperDim, "survey_id")
+      .withColumn("rk", rekey(col("polished"), col("bibkeys")))
+      .select(
+        col("survey_id"),
+        col("rk._1").as("content"),
+        (col("rk._2").cast("double") / col("n_papers")).as("cite_ratio"),
+        col("n_papers"))
+  }
+
+  // --------------------------------------------------------------------- run
+  /** Full pipeline: encode → group → skeleton → [digest → refine]×block →
+    * digest → decode. Returns (survey_id, content, cite_ratio, n_papers,
+    * skeleton_md). */
+  def run(
+      surveys: DataFrame,
+      client: InferenceClient = new MockInference,
+      cfg: Config = Config()): DataFrame = {
+    val papers   = group(encode(surveys), cfg).localCheckpoint()
+    var skeleton = skeletonInit(papers, client).localCheckpoint()
+
+    var block = 0
+    var digests = digest(papers, skeleton, client).localCheckpoint()
+    while (block < cfg.blockCount) { // D5 cycle, driver-bounded
+      skeleton = refineSkeleton(skeleton, digests, client, cfg).localCheckpoint()
+      digests = digest(papers, skeleton, client).localCheckpoint()
+      block += 1
+    }
+
+    decode(skeleton, digests, papers, client)
+      .join(skeleton.select("survey_id", "skeleton_md"), "survey_id")
+  }
+
+  /** S3: append-style JSONL sink of the pipeline output. */
+  def writeJsonl(result: DataFrame, path: String): Unit =
+    result.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.infer.MockInference
+import org.apache.spark.sql.functions._
+
+/** End-to-end V2 survey pipeline on mock inference: 2 surveys × 3 papers
+  * through encode → group → skeleton → digest → refine block → decode
+  * (the t1 smoke shape from SURVEY.md §5.5). */
+class V2PipelineSpec extends SparkTestBase {
+
+  private def fixture = {
+    import spark.implicits._
+    def paper(t: String) =
+      (t, s"# Intro\nBody of $t with several findings and details.")
+    Seq(
+      ("s1", "Stream Processing",
+        Seq(paper("Pipelined Dataflow"), paper("Windowed Aggregation"),
+          paper("State Stores"))),
+      ("s2", "Vector Search",
+        Seq(paper("LSH Methods"), paper("Graph ANN"))))
+      .toDF("survey_id", "title", "papers")
+      .withColumn("papers", col("papers").cast(
+        "array<struct<title:string,txt:string>>"))
+  }
+
+  test("encode explodes papers and slugs bibkeys (S1/S2/F2)") {
+    val papers = V2Pipeline.encode(fixture)
+    assert(papers.count() == 5)
+    val keys = papers.select("bibkey").collect().map(_.getString(0)).toSet
+    assert(keys.contains("pipelined-dataflow") && keys.contains("graph-ann"))
+  }
+
+  test("grouping is a balanced round-robin (X3)") {
+    val grouped = V2Pipeline.group(V2Pipeline.encode(fixture),
+      V2Pipeline.Config(nGroups = 2))
+    val sizes = grouped.groupBy("survey_id", "group_id").count()
+      .collect().map(_.getLong(2))
+    assert(sizes.forall(n => n >= 1 && n <= 2))
+  }
+
+  test("full pipeline produces cited, assembled surveys") {
+    val out = V2Pipeline.run(fixture, new MockInference,
+      V2Pipeline.Config(nGroups = 2, blockCount = 1, convLayers = 2,
+        kernelWidth = 2, poolSize = 3))
+      .collect().map(r => r.getAs[String]("survey_id") -> r).toMap
+
+    assert(out.keySet == Set("s1", "s2"))
+    val s1 = out("s1")
+    val content = s1.getAs[String]("content")
+    // all skeleton sections present in assembled content
+    assert(content.contains("Prose for"))
+    assert(content.contains("[polished]"))
+    // citations re-keyed to numeric indices (J2)
+    assert("\\[\\d+(, \\d+)*\\]".r.findFirstIn(content).isDefined)
+    assert(!content.matches("(?s).*\\[pipelined-dataflow.*"))
+    // cite ratio in (0, 1] (A8)
+    val ratio = s1.getAs[Double]("cite_ratio")
+    assert(ratio > 0.0 && ratio <= 1.0)
+    // refine block ran: skeleton carries the MODIFY marker
+    assert(s1.getAs[String]("skeleton_md").contains("refined-"))
+  }
+
+  test("digest shape-check trips on a corrupted skeleton (J1)") {
+    val papers = V2Pipeline.group(V2Pipeline.encode(fixture),
+      V2Pipeline.Config())
+    // skeleton whose headings can't match digest output: digest() derives
+    // digests FROM the skeleton, so corrupt the check input instead —
+    // feed digests from skeleton A but validate against skeleton B.
+    val client = new MockInference
+    val skelA = V2Pipeline.skeletonInit(papers, client)
+    val digests = V2Pipeline.digest(papers, skelA, client)
+    val skelB = skelA.withColumn("skeleton_md", lit("# Only One Section"))
+    // structural conformance of A-digests against B-skeleton must fail
+    val bad = digests.select(col("survey_id"), col("path")).distinct()
+      .join(V2Pipeline.skeletonRows(skelB).select("survey_id", "path"),
+        Seq("survey_id", "path"), "left_anti").count()
+    assert(bad > 0)
+  }
+}
