@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.8/§2.9 streaming obligations):
+  * file-source ingestion of `events`, watermarked tumbling/sliding/session
+  * windows (the streaming twins of q26-q28), and a foreachBatch JSONL sink
+  * (the reference's append-a-line decode tail, S3/D4).
+  *
+  * The reference's async_d pipeline has no event-time/late-data logic — its
+  * queues are purely arrival-ordered — so watermarking here is engine
+  * surface (north-star), configured but semantically permissive by default.
+  *
+  * Scale: the file source lists + splits per micro-batch (maxFilesPerTrigger
+  * throttles backpressure, the queue_size analog, D1); stateful windows use
+  * the state store keyed by (window, group) — at cluster scale state
+  * partitions with the shuffle, and watermark eviction bounds its size.
+  */
+object Streams {
+
+  /** Pinned events schema: `ts` arrives as raw TIMESTAMP(NANOS) int64
+    * (see Tables.events) and is narrowed to micros here. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stream the events table out of an sf directory. File sources need a
+    * directory; the glob filter selects just the events file(s). */
+  def eventsStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming q26: tumbling 5-minute counts per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Streaming q27: sliding 10/5-minute counts. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n"))
+
+  /** Streaming q28: 30-minute session windows per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n"))
+
+  /** S3: JSONL append sink via foreachBatch (one line per row, append-only —
+    * the decode tail's behavior). Returns the started query. */
+  def jsonlSink(
+      df: DataFrame,
+      outPath: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").json(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drive a finite streaming aggregation into an in-memory table and return
+    * its final contents (test/demo harness: AvailableNow over the parquet
+    * files, complete output mode). */
+  def runToMemory(
+      agg: DataFrame,
+      name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+/** Physical-plan assertions: the properties that matter at 100 TB must be
+  * visible in the executed plan, not assumed — filter/column pushdown into
+  * the parquet scan, broadcast joins for small dimensions, and whole-stage
+  * codegen on hot paths. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q01: quantity filter is pushed into the parquet scan") {
+    val p = plan("q01_scan_filter_limit")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      s"missing pushdown in:\n${p.take(2000)}")
+  }
+
+  test("q01: scan reads only the projected columns") {
+    val p = plan("q01_scan_filter_limit")
+    // ReadSchema must not include unused columns like l_tax / l_discount
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax") && !read.contains("l_discount"),
+      s"column pruning failed: $read")
+  }
+
+  test("q08: part dimension is broadcast (no fact-side shuffle)") {
+    val p = plan("q08_join_rekey_part")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q07: catalyst broadcasts the customer dimension on its own") {
+    val p = plan("q07_join_orders_customer")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q13: aggregation is partial -> final (map-side combine)") {
+    val p = plan("q13_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q13: pricing summary runs inside whole-stage codegen") {
+    // codegen spans only materialize in the AQE-final plan — execute first
+    val df = SparkEntry.queries("q13_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with '*': the whole
+    // filter→project→partial-agg→final-agg spine must be starred
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"),
+      p.take(2000))
+  }
+
+  test("q11: range join keeps the user_id equi-key (no cartesian)") {
+    val p = plan("q11_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("d03: minhash signatures compute scan-side (no shuffle before bands)") {
+    val df = SparkEntry.queries("d03_minhash_lsh")(spark, dir)
+    val p  = df.queryExecution.executedPlan.toString()
+    // only shuffles: band self-join + distinct + final sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 8, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
+}
