@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,14 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles per document (docs shorter than 3 words drop). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  /** Distinct (doc_id, 3-word shingle) pairs. Shingles come from a window
+    * `lead` over exploded tokens rather than a per-row HOF transform — the
+    * HOF form runs interpreted and dominated the query (~4s at sf0.1); the
+    * window form is one doc-keyed shuffle with codegen'd projections.
+    * Docs shorter than 3 tokens contribute nothing (lead is null). */
+  private def shinglePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(t)-3)," +
-          " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))").as("shingles"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        col("tok").as("t0"),
+        lead("tok", 1).over(w).as("t1"),
+        lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+  }
 
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ exact
@@ -95,15 +106,24 @@ object Dedup {
           ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id
         ORDER BY id_a, id_b"""),
       build = (s, d) => {
-        val sig = shingled(s, d).select(col("doc_id"), expr(
-          "transform(sequence(0, 7), h -> " +
-            "array_min(transform(shingles, s -> " +
-            "md5(cast(concat(cast(h as string), '|', s) as binary)))))").as("sig"))
+        // signatures via explode + 8 codegen'd min-aggregates (map-side
+        // combine): one shuffle keyed by doc_id, no interpreted HOFs.
+        // Same salted-md5 minima as the oracle's per-row formulation.
+        val pairs = shinglePairs(s, d)
+        val hashCols = (0 until 8).map { h =>
+          md5(concat(lit(s"$h|"), col("sh")).cast("binary")).as(s"mh$h")
+        }
+        val minAggs = (0 until 8).map(h => min(col(s"mh$h")).as(s"sig$h"))
+        val sig = pairs.select(col("doc_id") +: hashCols: _*)
+          .groupBy("doc_id")
+          .agg(minAggs.head, minAggs.tail: _*)
+        val bandStructs = (0 until 4).map { b =>
+          struct(lit(b).as("b"),
+            md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))
+              .cast("binary")).as("bkey"))
+        }
         val bands = sig
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, 3), b -> " +
-              "struct(b AS b, md5(cast(concat(sig[2*b], sig[2*b+1]) as binary)) AS bkey))"))
-            .as("band"))
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
           .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
         val a = bands.select(col("doc_id").as("id_a"), col("b"), col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"), col("b"), col("bkey"))
@@ -122,16 +142,22 @@ object Dedup {
       covers = "X5 north-star",
       oracle = None,
       build = (s, d) => {
-        val sim = Tables.documents(s, d)
-          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-          .withColumn("counts", expr(
-            "aggregate(toks, array_repeat(0, 64), (acc, tk) -> " +
-              "zip_with(acc, sequence(0, 63), (a, b) -> " +
-              "a + IF((shiftright(xxhash64(tk), b) & 1) = 1, 1, -1)))"))
-          .select(col("doc_id"), expr(
-            "aggregate(zip_with(counts, sequence(0, 63), (c, b) -> " +
-              "IF(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), " +
-              "cast(0 as bigint), (acc, x) -> acc | x)").as("simhash"))
+        // 64 codegen'd conditional-sum aggregates (one per bit) instead of
+        // nested interpreted HOFs: one explode + one groupBy shuffle, all
+        // bit work inside whole-stage codegen.
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .select(col("doc_id"), xxhash64(col("token")).as("h"))
+        val bitAggs = (0 until 64).map { b =>
+          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1))
+            .as(s"c$b")
+        }
+        val counts = hashed.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val packed = (0 until 64)
+          .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_))
+        val sim = counts.select(col("doc_id"), packed.as("simhash"))
         val bands = sim.select(col("doc_id"), col("simhash"),
           explode(expr(
             "transform(sequence(0, 3), b -> " +
@@ -165,15 +191,20 @@ object Dedup {
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
       build = (s, d) => {
+        // norms scan-side once per vector; per-pair work = one codegen'd dot
+        def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          graft.functions.ArrayMath.dot(s, x, y)
         val e = Tables.embeddings(s, d)
+          .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
         val a = e.select(col("vec_id").as("id_a"), col("label"),
-          col("embedding").as("v_a"))
+          col("embedding").as("v_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("id_b"), col("label"),
-          col("embedding").as("v_b"))
+          col("embedding").as("v_b"), col("nrm").as("nrm_b"))
         a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(VectorFunctions.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+            round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+              .as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("id_a", "id_b")
       })

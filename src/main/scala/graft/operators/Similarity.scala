@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFunctions.cosine
+import graft.functions.ArrayMath
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -43,15 +43,22 @@ object Similarity {
         SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= $K
         ORDER BY qid, rn"""),
       build = (s, d) => {
+        // norms are per-vector, so compute them once scan-side (not per
+        // pair); pair work is a single codegen'd dot product
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val corpus = e.select(col("vec_id"), col("embedding").as("v"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qnrm"))
+        val corpus = e.select(col("vec_id"), col("embedding").as("v"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         corpus.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
-            round(cosine(col("qv"), col("v")), 6).as("cos"))
+            round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+              .as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("qid", "rn", "vec_id", "cos")
@@ -81,13 +88,18 @@ object Similarity {
             col("embedding").as(s"${prefix}_v"),
             bucket.as("bucket"))
         }
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
         val corpus = bucketed("c")
+          .withColumn("c_nrm", sqrt(dot(col("c_v"), col("c_v"))))
         val queries = bucketed("q").filter(col("q_id") < 10)
+          .withColumn("q_nrm", sqrt(dot(col("q_v"), col("q_v"))))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
         corpus.join(broadcast(queries), Seq("bucket"))
           .filter(col("c_id") =!= col("q_id"))
           .select(col("q_id"), col("c_id"),
-            round(cosine(col("q_v"), col("c_v")), 6).as("cos"))
+            round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+              .as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "c_id", "cos")
