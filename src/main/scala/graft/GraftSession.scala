@@ -25,6 +25,8 @@ object GraftSession {
       // pinned to UTC their values match DuckDB's. Queries emit timestamps as
       // formatted strings so parquet logical types never diverge.
       .config("spark.sql.session.timeZone", "UTC")
+      // graft optimizer rules (filter-below-inference pushdown)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {
