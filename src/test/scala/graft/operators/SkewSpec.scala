@@ -1,0 +1,26 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+
+  test("salted join result equals plain join under a hot key") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val big = spark.range(10000).toDF("i")
+      .withColumn("key", when(col("i") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("i").cast("string"))))
+    val small = Seq(("hot", "H"), ("k0", "Z0"), ("k10", "Z10"))
+      .toDF("key", "payload")
+
+    val plain  = big.join(small, "key")
+    val salted = Skew.saltedJoin(big, small, "key", salt = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
