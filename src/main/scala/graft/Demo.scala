@@ -28,6 +28,30 @@ object Demo {
     println("=== MinHash-LSH near-dup candidates ===")
     SparkEntry.queries("d03_minhash_lsh")(spark, dir).show(5, truncate = false)
 
+    println("=== crawl dataflow (mock fetcher, error envelope) ===")
+    import graft.sources.WebCorpus
+    import spark.implicits._
+    val fetcher = new WebCorpus.Fetcher {
+      def fetch(url: String): String =
+        if (url.endsWith("supplier.parquet")) throw new RuntimeException("denied")
+        else s"fetched ${new java.io.File(url).length()} bytes"
+    }
+    val urls = Tables.names.map(t => s"$dir/$t.parquet").toDF("url")
+    val (ok, dead) = WebCorpus.splitErrors(
+      WebCorpus.crawl(urls, fetcher, parallelism = 4))
+    ok.show(3, truncate = false)
+    dead.show(3, truncate = false)
+
+    println("=== V3 stage runner (checkpoint -> checkpoint) ===")
+    import graft.pipeline.StageRunner
+    val ck0 = java.nio.file.Files.createTempDirectory("demo_ck0_").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("demo_ck1_").toString
+    Tables.documents(spark, dir).write.mode("overwrite").parquet(ck0)
+    StageRunner.register("lang_en",
+      (_, df) => df.filter(col("lang") === "en"))
+    val n = StageRunner.run(spark, "lang_en", ck0, ck1)
+    println(s"stage lang_en: $n rows checkpointed to $ck1")
+
     spark.stop()
   }
 }
