@@ -134,6 +134,54 @@ object Dedup {
           .orderBy("id_a", "id_b")
       }),
 
+    // ---------------------------------------------- MinHash + verification
+    // The complete near-dup pipeline: LSH candidates (as d03) verified by
+    // exact shingle-set Jaccard — only candidate pairs pay the set-compare
+    // cost. This is the scalable shape end-to-end: signatures scan-side,
+    // one band shuffle, verification on the (tiny) candidate set.
+    QueryDef(
+      "d06_minhash_verified",
+      covers = "X5 J4 north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                 FROM bands a JOIN bands c
+                   ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id),
+        ver AS (SELECT cand.id_a, cand.id_b,
+                       round(len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+                             len(list_distinct(list_concat(x.shingles, y.shingles))),
+                             6) AS jaccard
+                FROM cand
+                JOIN sh x ON x.doc_id = cand.id_a
+                JOIN sh y ON y.doc_id = cand.id_b)
+        SELECT id_a, id_b, jaccard FROM ver
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
+      build = (s, d) => {
+        val cand = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
+        val sets = shinglePairs(s, d)
+          .groupBy("doc_id")
+          .agg(collect_set(col("sh")).as("shingles"))
+        val x = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+        val y = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+        cand.join(x, "id_a").join(y, "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
+              size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      }),
+
     // ------------------------------------------------------------ SimHash
     // 64-bit SimHash from xxhash64 token hashes; candidates = equal 16-bit
     // band + Hamming distance ≤ 16. xxhash64 has no DuckDB twin → rows-only.

@@ -104,6 +104,27 @@ object Similarity {
           .filter(col("rn") <= K)
           .select("q_id", "rn", "c_id", "cos")
           .orderBy("q_id", "rn")
+      }),
+
+    // ANN quality metric: recall of the LSH path against the exact top-k,
+    // per query. Both sides are deterministic (seeded hashes), but the
+    // hash family has no DuckDB twin → rows-only.
+    QueryDef(
+      "s03_ann_recall",
+      covers = "north-star ANN eval",
+      oracle = None,
+      build = (s, d) => {
+        val exact = defs.find(_.name == "s01_cosine_topk").get.build(s, d)
+          .select(col("qid"), col("vec_id"))
+        val approx = defs.find(_.name == "s02_ann_lsh_topk").get.build(s, d)
+          .select(col("q_id").as("qid"), col("c_id").as("vec_id"))
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("qid").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            round(coalesce(col("n_hits"), lit(0)) / col("k"), 4).as("recall"))
+          .orderBy("qid")
       })
   )
 }
