@@ -44,6 +44,27 @@ object TextFunctions {
     * single unbreakable word; concatenating chunks with single spaces
     * preserves the whitespace-normalized document.
     */
+  /** [[chunkText]] plus a sliding overlap: each chunk after the first is
+    * prefixed with the last `overlap` tokens of its predecessor (the
+    * reference's separator-aware packing with overlap, T3 —
+    * Generator.py:234-299). Dropping the first `overlap` tokens of chunks
+    * 1..n reconstructs the document (spec-tested). */
+  def chunkTextOverlap(
+      text: String,
+      budget: Int,
+      overlap: Int,
+      tokenLen: String => Int = whitespaceTokens): Seq[String] = {
+    require(overlap >= 0 && overlap < budget, "need 0 <= overlap < budget")
+    val base = chunkText(text, budget - overlap, tokenLen)
+    if (overlap == 0 || base.length <= 1) base
+    else base.zipWithIndex.map {
+      case (c, 0) => c
+      case (c, i) =>
+        val prevToks = base(i - 1).split("\\s+").filter(_.nonEmpty)
+        (prevToks.takeRight(overlap) :+ c).mkString(" ")
+    }
+  }
+
   def chunkText(
       text: String,
       budget: Int,

@@ -47,6 +47,35 @@ final class RetryingClient(
   }
 }
 
+/** Adaptive input reduction on failure (cf. /root/reference/LLMxMapReduce_V2/
+  * src/hidden/digest_module.py:117-131): when a call fails, halve the
+  * CONTENT part of the prompt (the last `|`-delimited segment — paper text
+  * by convention) and retry; after `maxAttempts` give up with `fallback`
+  * (the reference's "empty digest at attempt 9"), so one oversized/poisoned
+  * record degrades itself instead of failing the stage. */
+final class HalvingClient(
+    underlying: InferenceClient,
+    maxAttempts: Int = 9,
+    fallback: String = "")
+  extends InferenceClient {
+
+  override def complete(prompt: String): String = {
+    val cut     = prompt.lastIndexOf('|')
+    val prefix  = if (cut >= 0) prompt.substring(0, cut + 1) else ""
+    var content = if (cut >= 0) prompt.substring(cut + 1) else prompt
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      try return underlying.complete(prefix + content)
+      catch {
+        case _: Exception =>
+          content = content.substring(0, content.length / 2)
+          attempt += 1
+      }
+    }
+    fallback
+  }
+}
+
 /** Deterministic mock model implementing the structured-information protocol
   * of the reference's V1 map/collapse/reduce prompts
   * (/root/reference/LLMxMapReduce_V1/config/qa.yaml:19-23): the response

@@ -35,9 +35,17 @@ object V1Pipeline {
   def run(
       docs: DataFrame, // doc_id, question, text
       client: InferenceClient = new MockInference,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      auditDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     registerChunker(spark, cfg.chunkBudget)
+    // S4: per-stage input/output audit log (cf. LLMxMapReduce_V1/
+    // utils.py:30-46) — side-output JSONL per stage when enabled
+    def audit(stage: String, df: DataFrame): DataFrame = {
+      auditDir.foreach(dir =>
+        df.write.mode("overwrite").json(s"$dir/$stage"))
+      df
+    }
 
     // ---- chunk (T2/T3): generator expression, one row per chunk
     val chunks = docs.select(
@@ -45,18 +53,18 @@ object V1Pipeline {
       posexplode(expr("graft_chunk(text)")).as(Seq("chunk_idx", "chunk")))
 
     // ---- map (A1): batched inference, no shuffle
-    val mapped = InferOps.complete(
+    val mapped = audit("map", InferOps.complete(
       chunks.withColumn("prompt",
         concat(lit("MAP|"), col("question"), lit("|"), col("chunk"))),
       "prompt", "response", client)
       .select(col("doc_id"), col("question"), col("chunk_idx"),
-        col("response"))
+        col("response")))
 
     // ---- filter (F1): drop [NO INFORMATION] unless the question asks for it
     val parsed = withProtocolFields(mapped)
-    val kept = parsed.filter(
+    val kept = audit("filter", parsed.filter(
       !upper(col("answer")).contains(NoInfo) ||
-        upper(col("question")).contains(NoInfo))
+        upper(col("question")).contains(NoInfo)))
 
     // ---- collapse loop (A2/W7): while any doc exceeds the budget, pack
     // adjacent records into bins and LLM-merge each bin. Driver loop with
@@ -96,11 +104,11 @@ object V1Pipeline {
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(chunk_idx, response))), p -> p.response)"),
         "\n---\n").as("joined"))
-    InferOps.complete(
+    audit("reduce", InferOps.complete(
       gathered.withColumn("prompt",
         concat(lit("REDUCE|"), col("question"), lit("|"), col("joined"))),
       "prompt", "answer", client)
-      .select("doc_id", "answer")
+      .select("doc_id", "answer"))
   }
 
   /** Parse the structured-information protocol fields out of a response

@@ -59,6 +59,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTextOverlap: dropping the overlap prefix reconstructs the doc") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val overlap = 3
+    val chunks = chunkTextOverlap(doc, budget = 10, overlap = overlap)
+    assert(chunks.length > 1)
+    chunks.foreach(c => assert(whitespaceTokens(c) <= 10))
+    val rebuilt = chunks.head +: chunks.tail.map(
+      _.split(" ").drop(overlap).mkString(" "))
+    assert(rebuilt.mkString(" ").split("\\s+").toSeq == doc.split(" ").toSeq)
+    // overlap prefix really is the predecessor's tail
+    val t0 = chunks(0).split("\\s+"); val t1 = chunks(1).split(" ")
+    assert(t1.take(overlap).toSeq == t0.takeRight(overlap).toSeq)
+  }
+
   // ---------------------------------------------------------------- packing
   test("packBins greedy restart semantics (utils.py:61-90)") {
     assert(packBins(Seq(3, 3, 3), 6) == Seq(0, 0, 1))

@@ -60,6 +60,18 @@ class V1PipelineSpec extends SparkTestBase {
     assert(out.isEmpty || out.head.getString(1) == V1Pipeline.NoInfo)
   }
 
+  test("audit sink writes per-stage JSONL side outputs (S4)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
+    val docs = Seq(("a1", "What is the passkey?", longDoc("gem-007", planted = 7)))
+      .toDF("doc_id", "question", "text")
+    V1Pipeline.run(docs, new MockInference,
+      V1Pipeline.Config(chunkBudget = 24), auditDir = Some(dir)).collect()
+    Seq("map", "filter", "reduce").foreach { st =>
+      assert(spark.read.json(s"$dir/$st").count() > 0, s"stage $st missing")
+    }
+  }
+
   test("retrying client recovers from transient failures") {
     var calls = 0
     val flaky = new InferenceClient {

@@ -41,6 +41,20 @@ class StreamsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming sliding counts == batch q27") {
+    val stream = Streams.eventsStream(spark, dir)
+    val got = Streams.runToMemory(
+      Streams.slidingCounts(stream), "t_slide")
+      .orderBy("wstart").collect()
+    val want = batchEvents
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n"))
+      .orderBy("wstart").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("foreachBatch JSONL sink appends one line per row (S3)") {
     val out  = Files.createTempDirectory("graft_jsonl_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
