@@ -60,6 +60,19 @@ class V1PipelineSpec extends SparkTestBase {
     assert(out.isEmpty || out.head.getString(1) == V1Pipeline.NoInfo)
   }
 
+  test("InfiniteBench-sized document (~250KB) retrieves through the full pipeline") {
+    import spark.implicits._
+    // ~2500 paragraphs ≈ 250KB, passkey buried deep (the Retrieve.PassKey
+    // shape at realistic document size)
+    val docs = Seq(("big", "What is the passkey?",
+      longDoc("deep-314159", planted = 2111, total = 2500)))
+      .toDF("doc_id", "question", "text")
+    val out = V1Pipeline.run(docs, new MockInference,
+      V1Pipeline.Config(chunkBudget = 512, collapseBudget = 800, binBudget = 600))
+      .collect()
+    assert(out.length == 1 && out.head.getString(1) == "deep-314159")
+  }
+
   test("audit sink writes per-stage JSONL side outputs (S4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_audit_").toString

@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bucketed layout must remove the join-time shuffle: the one-time write
+  * shuffle buys every subsequent co-located join. */
+class LakeLayoutSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join of co-bucketed tables plans without Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, dir)
+      val embs = Tables.embeddings(spark, dir)
+        .withColumnRenamed("vec_id", "doc_id")
+      LakeLayout.writeBucketed(docs, "t_docs_b", "doc_id", 4)
+      LakeLayout.writeBucketed(embs, "t_embs_b", "doc_id", 4)
+
+      val joined = LakeLayout.bucketedJoin(spark, "t_docs_b", "t_embs_b", "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(1500))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(joined.count() > 0)
+
+      // contrast: the same join on raw (unbucketed) reads DOES shuffle
+      val raw = docs.join(embs, "doc_id")
+      assert(raw.queryExecution.executedPlan.toString().contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_docs_b")
+      spark.sql("DROP TABLE IF EXISTS t_embs_b")
+    }
+  }
+
+  test("partitioned write prunes partitions on read") {
+    try {
+      LakeLayout.writeBucketed(
+        Tables.documents(spark, dir), "t_docs_p", "doc_id", 2,
+        partitionCols = Seq("source"))
+      val one = spark.table("t_docs_p").filter(col("source") === "src0")
+      val scan = one.queryExecution.executedPlan.toString()
+      assert(one.count() > 0)
+      // partition filter must land in PartitionFilters, not a row Filter
+      assert(scan.contains("PartitionFilters") &&
+        scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("src0"),
+        scan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS t_docs_p")
+  }
+}
