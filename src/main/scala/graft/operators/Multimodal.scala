@@ -70,6 +70,56 @@ object Multimodal {
     }
   }
 
+  final case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      payload: Array[Byte])
+
+  /** Frame sampling for video rows: one row per sampled frame at
+    * `everyMs` spacing. The decoded-frame payload is a STUB (deterministic
+    * byte slice) — real builds splice a codec here — but the explode shape,
+    * schema, and timestamp math are the real plumbing: frames scale out as
+    * rows, partitioned with their parent media. */
+  def frameSample(
+      media: Dataset[MediaRecord],
+      everyMs: Long = 1000L,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val n = math.min(maxFrames, 1 + (m.payload.length % maxFrames))
+      (0 until n).iterator.map { i =>
+        val sliceLen = math.max(1, m.payload.length / math.max(n, 1))
+        val from = math.min(i * sliceLen, math.max(m.payload.length - 1, 0))
+        val until = math.min(from + sliceLen, m.payload.length)
+        Frame(m.media_id, i, i * everyMs,
+          java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }
+  }
+
+  /** Resize stub: rewrites the typed metadata (the real contract) and
+    * fakes the payload transform deterministically (truncate ∝ area ratio).
+    * Batch shape matches a native resizer: partition-local, buffer reuse. */
+  def resize(
+      media: Dataset[MediaRecord],
+      newWidth: Int,
+      newHeight: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ratio =
+          (newWidth.toLong * newHeight).toDouble /
+            math.max(m.width.toLong * m.height, 1L)
+        val newLen = math.max(1,
+          math.min(m.payload.length, (m.payload.length * ratio).toInt))
+        m.copy(
+          width = newWidth, height = newHeight,
+          payload = java.util.Arrays.copyOf(m.payload, newLen))
+      }
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Binary-column metadata path — deterministic, so oracle-checked.
     QueryDef(

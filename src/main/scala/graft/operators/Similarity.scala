@@ -106,6 +106,62 @@ object Similarity {
           .orderBy("q_id", "rn")
       }),
 
+    // IVF ANN: k-means coarse quantizer (spark.ml, seeded) partitions the
+    // corpus into cells; queries probe their nprobe nearest cells only.
+    // At scale the corpus stays hash-partitioned by cell — a query touches
+    // cells/nprobe of the data. Deterministic (seed) but not
+    // SQL-expressible → rows-only.
+    QueryDef(
+      "s04_ann_ivf_topk",
+      covers = "north-star ANN scale path (IVF)",
+      oracle = None,
+      build = (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        import org.apache.spark.ml.linalg.Vector
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
+
+        val e = Tables.embeddings(s, d)
+          .withColumn("features",
+            array_to_vector(expr("transform(embedding, x -> cast(x as double))")))
+        val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("features").fit(e)
+        val centroids = km.clusterCenters.map(_.toArray)
+
+        val corpus = km.transform(e)
+          .select(col("vec_id"), col("embedding").as("v"),
+            col("prediction").as("cell"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+        // nprobe=2 nearest cells per query vector (driver-side centroid
+        // table is tiny: k × dims doubles)
+        val nearestCells = udf((emb: Seq[Float]) => {
+          val x = emb.map(_.toDouble).toArray
+          centroids.zipWithIndex.map { case (c, i) =>
+            var dist = 0.0
+            var j = 0
+            while (j < x.length) { val t = x(j) - c(j); dist += t * t; j += 1 }
+            (i, dist)
+          }.sortBy(_._2).take(2).map(_._1)
+        })
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .withColumn("q_nrm", sqrt(dot(col("qv"), col("qv"))))
+          .withColumn("cell", explode(nearestCells(col("qv"))))
+
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        corpus.join(broadcast(queries), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(dot(col("qv"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+              .as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "cos")
+          .orderBy("qid", "rn")
+      }),
+
     // ANN quality metric: recall of the LSH path against the exact top-k,
     // per query. Both sides are deterministic (seeded hashes), but the
     // hash family has no DuckDB twin → rows-only.
