@@ -153,6 +153,29 @@ object TextFunctions {
     }
   }
 
+  /** HTML → text extraction (T17; the V3 crawler cleaner's shape,
+    * html_extrator.py:35-120): drop script/style subtrees, strip tags,
+    * decode common entities, collapse whitespace. Regex-based — a stand-in
+    * for a full parser, deterministic and dependency-free. */
+  def stripHtml(html: String): String =
+    html
+      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+      .replaceAll("(?is)<br\\s*/?>|</p>|</div>|</li>|</h[1-6]>", "\n")
+      .replaceAll("(?is)<[^>]+>", " ")
+      .replaceAll("&nbsp;", " ").replaceAll("&amp;", "&")
+      .replaceAll("&lt;", "<").replaceAll("&gt;", ">")
+      .replaceAll("&quot;", "\"").replaceAll("&#39;", "'")
+      .replaceAll("[ \\t\\x0B\\f\\r]+", " ")
+      .replaceAll(" ?\\n ?", "\n").replaceAll("\\n{2,}", "\n")
+      .trim
+
+  /** Chinese-variant answer normalization (compute_scores.py zh path):
+    * strips CJK punctuation and spaces (zh answers compare char-wise). */
+  def normalizeAnswerZh(s: String): String =
+    s.toLowerCase
+      .replaceAll("[\\p{P}\\p{S}\\s]+", "")
+
   /** Title slugify (cf. process_str.py:131-137). */
   def slugify(s: String): String =
     s.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("(^-+)|(-+$)", "")

@@ -157,6 +157,16 @@ final class MockInference extends InferenceClient {
       s"Prose for $title$citeStr."
     case Array("POLISH", rest) =>
       rest + " [polished]"
+    case Array("FIGURE", rest) =>
+      // rest = <skeleton md> → one mermaid figure spec per top-level
+      // section (the reference's chart node output shape,
+      // figure_module.py:77-87)
+      val sections = rest.linesIterator
+        .filter(l => l.startsWith("# ") && !l.startsWith("##"))
+        .map(_.drop(2).trim).toSeq
+      sections.headOption.map { sec =>
+        s"Section: $sec\nTitle: Overview of $sec\n```mermaid\ngraph TD; A[${stableTag(sec)}] --> B[survey];\n```"
+      }.getOrElse("")
     case _ =>
       s"echo:${Integer.toHexString(prompt.hashCode)}"
   }

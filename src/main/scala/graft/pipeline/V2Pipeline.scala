@@ -283,6 +283,49 @@ object V2Pipeline {
         col("n_papers"))
   }
 
+  // ------------------------------------------------------------------ charts
+  /** Chart node (J7/T14; figure_module.py:22-87): ask for a figure spec,
+    * parse `Section:/Title:/```mermaid` fields, join it back onto the
+    * written content by normalized section title, inject the fenced block
+    * after the section heading. */
+  def injectFigures(
+      decoded: DataFrame, // survey_id, content, ...
+      skeleton: DataFrame,
+      client: InferenceClient): DataFrame = {
+    val specs = InferOps.complete(
+      skeleton.withColumn("prompt", concat(lit("FIGURE|"), col("skeleton_md"))),
+      "prompt", "fig_raw", client)
+      .select(col("survey_id"),
+        regexp_extract(col("fig_raw"), "Section: (.*)", 1).as("fig_section"),
+        regexp_extract(col("fig_raw"), "Title: (.*)", 1).as("fig_title"),
+        regexp_extract(col("fig_raw"), "(?s)```mermaid\\n(.*?)```", 1)
+          .as("fig_body"))
+      .filter(length(col("fig_section")) > 0)
+
+    val inject = udf((content: String, section: String, title: String,
+        body: String) => {
+      if (section == null || section.isEmpty || body == null) content
+      else {
+        val norm = (s: String) => s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        val lines = content.split("\n", -1)
+        val idx = lines.indexWhere(l => norm(l).contains(norm(section)))
+        if (idx < 0) content
+        else {
+          val fig = s"\n**$title**\n```mermaid\n$body```"
+          (lines.take(idx + 1) :+ fig).mkString("\n") +
+            (if (idx + 1 < lines.length)
+              "\n" + lines.drop(idx + 1).mkString("\n") else "")
+        }
+      }
+    })
+    decoded.join(specs, Seq("survey_id"), "left")
+      .withColumn("content",
+        when(col("fig_section").isNotNull,
+          inject(col("content"), col("fig_section"), col("fig_title"),
+            col("fig_body"))).otherwise(col("content")))
+      .drop("fig_section", "fig_title", "fig_body")
+  }
+
   // --------------------------------------------------------------------- run
   /** Full pipeline: encode → group → skeleton → [digest → refine]×block →
     * digest → decode. Returns (survey_id, content, cite_ratio, n_papers,
@@ -302,7 +345,8 @@ object V2Pipeline {
       block += 1
     }
 
-    decode(skeleton, digests, papers, client)
+    injectFigures(
+      decode(skeleton, digests, papers, client), skeleton, client)
       .join(skeleton.select("survey_id", "skeleton_md"), "survey_id")
   }
 

@@ -116,6 +116,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("stripHtml drops script/style, strips tags, decodes entities (T17)") {
+    val html =
+      """<html><head><style>p {color: red}</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><h1>Title</h1><p>Hello &amp; welcome&nbsp;here.</p>
+        |<!-- comment --><div>Second&nbsp;line &lt;kept&gt;</div></body></html>"""
+        .stripMargin
+    val text = stripHtml(html)
+    assert(!text.contains("color"))
+    assert(!text.contains("var x"))
+    assert(text.contains("Title"))
+    assert(text.contains("Hello & welcome here."))
+    assert(text.contains("Second line <kept>"))
+    assert(!text.contains("<div>"))
+  }
+
+  test("normalizeAnswerZh strips punctuation and spaces") {
+    assert(normalizeAnswerZh("答案：北京。") == "答案北京")
+    assert(normalizeAnswerZh("A B,C！") == "abc")
+  }
+
   test("extractFence") {
     val s = "prefix\n```mermaid\ngraph TD;\nA-->B;\n```\nsuffix"
     assert(extractFence(s, "mermaid").contains("graph TD;\nA-->B;"))

@@ -59,6 +59,9 @@ class V2PipelineSpec extends SparkTestBase {
     assert(ratio > 0.0 && ratio <= 1.0)
     // refine block ran: skeleton carries the MODIFY marker
     assert(s1.getAs[String]("skeleton_md").contains("refined-"))
+    // chart node injected a mermaid figure near its section (J7/T14)
+    assert(content.contains("```mermaid"))
+    assert(content.contains("**Overview of "))
   }
 
   test("digest shape-check trips on a corrupted skeleton (J1)") {
