@@ -360,6 +360,42 @@ object Relational {
           .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
           .orderBy("l_returnflag")),
 
+    // engine-completeness: exact interpolated percentiles (both engines use
+    // linear interpolation; rounded to 4dp for float stability)
+    QueryDef(
+      "q31_percentiles",
+      covers = "engine-complete (A10 family)",
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      build = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+          .orderBy("l_returnflag")),
+
+    // engine-completeness: pivot = conditional aggregation
+    QueryDef(
+      "q32_pivot",
+      covers = "engine-complete (A10 family)",
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(*) FILTER (l_linestatus = 'F') AS n_f,
+               count(*) FILTER (l_linestatus = 'O') AS n_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      build = (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .withColumnRenamed("F", "n_f")
+          .withColumnRenamed("O", "n_o")
+          .orderBy("l_returnflag")),
+
     // ---------------------------------------------------------------- Q16
     QueryDef(
       "q16_topk_per_group",

@@ -93,6 +93,42 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous V1 QA front end (the reference's file-fed pipeline seed,
+    * start_pipeline.py:107-110 → S1/S3): stream documents from an sf dir,
+    * run the batch V1 pipeline per micro-batch via foreachBatch, append
+    * answers as JSONL. Micro-batch = the unit of pipeline work; at scale
+    * `maxFilesPerTrigger` is the backpressure knob. */
+  def v1QaStream(
+      spark: SparkSession,
+      sfDir: String,
+      question: String,
+      outPath: String,
+      checkpoint: String,
+      client: graft.infer.InferenceClient = new graft.infer.MockInference,
+      glob: String = "documents*.parquet"): StreamingQuery = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(sfDir)
+      .select(col("doc_id"), lit(question).as("question"), col("text"))
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.pipeline.V1Pipeline.run(batch.toDF(), client)
+            .write.mode("append").json(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */

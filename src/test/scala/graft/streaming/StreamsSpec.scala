@@ -55,6 +55,25 @@ class StreamsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming V1 QA: documents stream through the pipeline to JSONL") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val out  = Files.createTempDirectory("graft_v1s_out_").toString
+    val ckpt = Files.createTempDirectory("graft_v1s_ck_").toString
+    // stage a small docs dir with planted passkeys
+    val staged = Files.createTempDirectory("graft_v1s_in_").toString
+    Tables.documents(spark, dir).limit(20)
+      .withColumn("text", concat(col("text"),
+        lit(" ANSWER[stream-"), col("doc_id").cast("string"), lit("]")))
+      .coalesce(1).write.mode("overwrite").parquet(staged + "/docs")
+    val q = Streams.v1QaStream(spark, staged + "/docs",
+      "What is the passkey?", out, ckpt, glob = "*.parquet")
+    q.awaitTermination()
+    val res = spark.read.json(out)
+    assert(res.count() == 20)
+    assert(res.filter(col("answer") ===
+      concat(lit("stream-"), col("doc_id").cast("string"))).count() == 20)
+  }
+
   test("foreachBatch JSONL sink appends one line per row (S3)") {
     val out  = Files.createTempDirectory("graft_jsonl_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
