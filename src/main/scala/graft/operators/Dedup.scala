@@ -169,7 +169,14 @@ object Dedup {
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
       build = (s, d) => {
         val cand = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
+        // collect shingle sets ONLY for docs that appear in a candidate
+        // pair — at scale this is the difference between shuffling the
+        // corpus's shingles and shuffling the candidates'
+        val candIds = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
         val sets = shinglePairs(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
           .groupBy("doc_id")
           .agg(collect_set(col("sh")).as("shingles"))
         val x = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))

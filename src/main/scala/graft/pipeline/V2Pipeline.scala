@@ -223,13 +223,20 @@ object V2Pipeline {
       .groupBy("survey_id", "path")
       .agg(array_join(array_sort(collect_list(col("description"))), "\n")
         .as("material"))
-    val written = InferOps.complete(
+    // write then polish each section (the reference's per-section
+    // ORCHESTRA→POLISH sequence, orchestra_module.py:167-185)
+    val written0 = InferOps.complete(
       leaves.join(material, Seq("survey_id", "path"), "left")
         .withColumn("prompt", concat(
           lit("WRITE|"), col("title"), lit("|"),
           coalesce(col("material"), lit("")))),
       "prompt", "content", client)
       .select("survey_id", "path", "depth", "title", "content")
+    val written = InferOps.complete(
+      written0.withColumn("prompt", concat(lit("POLISH|"), col("content"))),
+      "prompt", "polished_c", client)
+      .drop("content")
+      .withColumnRenamed("polished_c", "content")
 
     // internal nodes start with their heading; bottom-up assembly (D11)
     val internals = sections.join(
@@ -250,11 +257,9 @@ object V2Pipeline {
         expr("transform(array_sort(collect_list(struct(path, content))), p -> p.content)"),
         "\n").as("draft"))
 
-    // POLISH, then J2 citation re-key + A8 cite ratio
-    val polished = InferOps.complete(
-      roots.withColumn("prompt", concat(lit("POLISH|"), col("draft"))),
-      "prompt", "polished", client)
-      .select("survey_id", "polished")
+    // sections were polished individually above; the root draft goes
+    // straight to citation re-key (J2) + A8 cite ratio
+    val polished = roots.select(col("survey_id"), col("draft").as("polished"))
 
     val paperDim = papers.groupBy("survey_id")
       .agg(
