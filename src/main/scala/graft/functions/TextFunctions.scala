@@ -25,9 +25,12 @@ object TextFunctions {
     n
   }
 
-  /** Char-ratio token estimate — the reference's TOKEN_RATIO heuristic
-    * (/root/reference/LLMxMapReduce_V2/src/data_structure/digest.py:34-38). */
-  def estimateTokens(s: String): Int = math.ceil(s.length / 3.6875).toInt
+  /** The reference's TOKEN_RATIO constant (chars per token heuristic,
+    * /root/reference/LLMxMapReduce_V2/src/data_structure/digest.py:34-38). */
+  val TokenRatio: Double = 3.6875
+
+  /** Char-ratio token estimate over [[TokenRatio]]. */
+  def estimateTokens(s: String): Int = math.ceil(s.length / TokenRatio).toInt
 
   /** Sentence split keeping terminal punctuation attached
     * (cf. Generator.py:134-148). */

@@ -79,11 +79,10 @@ object V1Pipeline {
       kept.select("doc_id", "question", "chunk_idx", "response"),
       cfg.maxCollapseIters,
       done = df => !oversized(df)) { df =>
-      val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val binned = df.withColumn("bin",
-        floor(sum(ceil(length(col("response")) / 3.6875)).over(w) /
-          cfg.binBudget).cast("bigint"))
+      // reference-faithful greedy packing (restart-at-boundary), not the
+      // window running-sum approximation — see Packing.exactBins
+      val binned = graft.operators.Packing.packTextBins(
+        df, "doc_id", Seq("chunk_idx"), "response", cfg.binBudget)
       val packed = binned
         .groupBy("doc_id", "question", "bin")
         .agg(
