@@ -157,6 +157,16 @@ final class MockInference extends InferenceClient {
       s"Prose for $title$citeStr."
     case Array("POLISH", rest) =>
       rest + " [polished]"
+    case Array("DEDUP", rest) =>
+      // near-dup removal mock: claims equal after lowercase/punct-strip
+      // collapse to their first representative (atomic_facts.py semantics)
+      rest.split("\n").toSeq.filter(_.nonEmpty)
+        .foldLeft((Vector.empty[String], Set.empty[String])) {
+          case ((kept, seen), c) =>
+            val key = c.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+            if (seen.contains(key)) (kept, seen)
+            else (kept :+ c, seen + key)
+        }._1.mkString("\n")
     case Array("FIGURE", rest) =>
       // rest = <skeleton md> → one mermaid figure spec per top-level
       // section (the reference's chart node output shape,

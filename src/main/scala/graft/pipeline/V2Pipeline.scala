@@ -358,4 +358,19 @@ object V2Pipeline {
   /** S3: append-style JSONL sink of the pipeline output. */
   def writeJsonl(result: DataFrame, path: String): Unit =
     result.write.mode("overwrite").json(path)
+
+  /** S8 (watch_data.py:7-21): per-survey markdown exports — one directory
+    * per survey with content.md and skeleton.md. Partition-parallel: each
+    * task writes its own surveys' files (foreachPartition, no driver
+    * funnel). */
+  def writeMarkdownExports(result: DataFrame, dir: String): Unit =
+    result.select("survey_id", "content", "skeleton_md")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val base = java.nio.file.Paths.get(dir, r.getString(0))
+          java.nio.file.Files.createDirectories(base)
+          java.nio.file.Files.writeString(base.resolve("content.md"), r.getString(1))
+          java.nio.file.Files.writeString(base.resolve("skeleton.md"), r.getString(2))
+        }
+      }
 }

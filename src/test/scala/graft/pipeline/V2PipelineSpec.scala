@@ -64,6 +64,20 @@ class V2PipelineSpec extends SparkTestBase {
     assert(content.contains("**Overview of "))
   }
 
+  test("markdown exports write per-survey content.md + skeleton.md (S8)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_md_").toString
+    val result = V2Pipeline.run(fixture, new MockInference,
+      V2Pipeline.Config(nGroups = 2, blockCount = 0, convLayers = 1))
+    V2Pipeline.writeMarkdownExports(result, out)
+    Seq("s1", "s2").foreach { sid =>
+      val content = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, sid, "content.md"))
+      val skel = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, sid, "skeleton.md"))
+      assert(content.nonEmpty && skel.startsWith("#"))
+    }
+  }
+
   test("digest shape-check trips on a corrupted skeleton (J1)") {
     val papers = V2Pipeline.group(V2Pipeline.encode(fixture),
       V2Pipeline.Config())
