@@ -168,7 +168,10 @@ object Dedup {
         SELECT id_a, id_b, jaccard FROM ver
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
       build = (s, d) => {
+        // candidates feed two branches (id list + verify join) — checkpoint
+        // so the MinHash pipeline runs once, not per branch
         val cand = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
+          .localCheckpoint()
         // collect shingle sets ONLY for docs that appear in a candidate
         // pair — at scale this is the difference between shuffling the
         // corpus's shingles and shuffling the candidates'
