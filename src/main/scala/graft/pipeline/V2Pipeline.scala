@@ -103,12 +103,15 @@ object V2Pipeline {
         col("sec._1").as("path"), col("sec._2").as("depth"),
         col("sec._3").as("title"), col("sec._4").as("description"))
 
-    // A4: merge digests of one group section-by-section (bibkey-ordered)
+    // A4: merge digests of one group section-by-section (bibkey-ordered).
+    // Checkpointed: the J1 conformance check below is an action, and the
+    // caller reuses the result — without this the merge would compute twice.
     val merged = sections
       .groupBy("survey_id", "group_id", "path", "depth", "title")
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(bibkey, description))), p -> p.description)"),
         "\n---\n").as("description"))
+      .localCheckpoint()
 
     // J1 contract: every group's digest tree mirrors the skeleton
     val skeletonSections = skeletonRows(skeleton)

@@ -13,8 +13,7 @@ import scala.jdk.CollectionConverters._
   * pull-based instead of a polling greenlet.
   */
 final class GraftQueryListener extends QueryExecutionListener {
-
-  final case class ActionStat(action: String, durationNs: Long, outputRows: Long)
+  import GraftQueryListener.ActionStat
 
   private val stats = new ConcurrentLinkedQueue[ActionStat]()
 
@@ -42,6 +41,8 @@ final class GraftQueryListener extends QueryExecutionListener {
 }
 
 object GraftQueryListener {
+  final case class ActionStat(action: String, durationNs: Long, outputRows: Long)
+
   /** Install a listener on the session and return it. */
   def install(spark: SparkSession): GraftQueryListener = {
     val l = new GraftQueryListener
