@@ -436,17 +436,26 @@ object Relational {
           .orderBy("month")),
 
     // ---------------------------------------------------------------- Q18
-    // A-Res weighted sampling without replacement (W6) — declared stochastic:
-    // Spark's rand(seed) has no DuckDB equivalent, so no oracle (rows-only).
+    // A-Res weighted sampling without replacement (W6): key = u^(1/weight),
+    // top-k keys win. The uniform u comes from a Knuth multiplicative hash
+    // of the row key — deterministic pure arithmetic both engines compute
+    // identically, which upgrades this from rows-only to oracle-checked
+    // (the production refine loop uses seeded rand(); same algorithm).
     QueryDef(
       "q18_weighted_sample",
       covers = "W6",
-      oracle = None,
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 pow(((o_orderkey * 2654435761) % 4294967296) / 4294967296.0,
+                     1.0 / o_totalprice) AS ares_key
+          FROM orders)
+        ORDER BY ares_key DESC, o_orderkey LIMIT 20"""),
       build = (s, d) => {
-        // key = rand^(1/weight): top-20 keys = weighted sample w/o replacement
-        val keyed = Tables.orders(s, d).withColumn(
-          "ares_key", pow(rand(42), lit(1.0) / col("o_totalprice")))
-        keyed
+        val u = (col("o_orderkey") * lit(2654435761L)) % lit(4294967296L) /
+          lit(4294967296.0)
+        Tables.orders(s, d)
+          .withColumn("ares_key", pow(u, lit(1.0) / col("o_totalprice")))
           .orderBy(col("ares_key").desc, col("o_orderkey"))
           .limit(20)
           .select("o_orderkey", "o_custkey", "o_totalprice")
