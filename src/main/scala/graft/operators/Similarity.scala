@@ -70,8 +70,13 @@ object Similarity {
       covers = "north-star ANN scale path",
       oracle = None,
       build = (s, d) => {
-        // Deterministic pseudo-random hyperplane component for (plane b,
-        // dim i): xxhash64-derived value in [-1, 1).
+        // Standard multi-table random-hyperplane LSH: L=4 tables × k=4
+        // planes. One 8+-bit table is too strict for weakly-correlated
+        // vectors (recall ≈ 0, measured by s03); OR-ing 4 narrow tables
+        // trades candidate volume for recall — both knobs explicit.
+        val L = 4; val Kbits = 4
+        // deterministic pseudo-random hyperplane component for (plane b,
+        // dim i): xxhash64-derived value in [-1, 1)
         val planeExpr =
           "aggregate(zip_with(embedding, sequence(0, size(embedding)-1)," +
             " (x, i) -> cast(x as double) *" +
@@ -79,27 +84,33 @@ object Similarity {
             " cast(0.0 as double), (acc, x) -> acc + x)"
         def bucketed(prefix: String) = {
           val base = Tables.embeddings(s, d)
-          val projections = (0 until 8).map(b => expr(planeExpr.format(b)))
-          val bucket = projections.zipWithIndex
-            .map { case (p, b) => when(p > 0, 1 << b).otherwise(0) }
-            .reduce(_ + _)
+          val tables = (0 until L).map { t =>
+            val bucket = (0 until Kbits).map { j =>
+              val p = expr(planeExpr.format(t * Kbits + j))
+              when(p > 0, 1 << j).otherwise(0)
+            }.reduce(_ + _)
+            struct(lit(t).as("tbl"), bucket.as("bucket"))
+          }
           base.select(
             col("vec_id").as(s"${prefix}_id"),
             col("embedding").as(s"${prefix}_v"),
-            bucket.as("bucket"))
+            explode(array(tables: _*)).as("tb"))
+            .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
+              col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
         }
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           ArrayMath.dot(s, a, b)
         val corpus = bucketed("c")
-          .withColumn("c_nrm", sqrt(dot(col("c_v"), col("c_v"))))
         val queries = bucketed("q").filter(col("q_id") < 10)
-          .withColumn("q_nrm", sqrt(dot(col("q_v"), col("q_v"))))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-        corpus.join(broadcast(queries), Seq("bucket"))
+        val cand = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
           .filter(col("c_id") =!= col("q_id"))
+          .dropDuplicates("q_id", "c_id") // same pair from several tables
+        cand
           .select(col("q_id"), col("c_id"),
-            round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
-              .as("cos"))
+            round(dot(col("q_v"), col("c_v")) /
+              (sqrt(dot(col("q_v"), col("q_v"))) *
+                sqrt(dot(col("c_v"), col("c_v")))), 6).as("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("q_id", "rn", "c_id", "cos")
@@ -162,25 +173,34 @@ object Similarity {
           .orderBy("qid", "rn")
       }),
 
-    // ANN quality metric: recall of the LSH path against the exact top-k,
-    // per query. Both sides are deterministic (seeded hashes), but the
-    // hash family has no DuckDB twin → rows-only.
+    // ANN quality metric: recall of each approximate path (LSH, IVF)
+    // against the exact top-k, per query. Both sides are deterministic
+    // (seeded hashes/centroids), but the hash families have no DuckDB
+    // twin → rows-only.
     QueryDef(
       "s03_ann_recall",
       covers = "north-star ANN eval",
       oracle = None,
       build = (s, d) => {
         val exact = defs.find(_.name == "s01_cosine_topk").get.build(s, d)
-          .select(col("qid"), col("vec_id"))
-        val approx = defs.find(_.name == "s02_ann_lsh_topk").get.build(s, d)
-          .select(col("q_id").as("qid"), col("c_id").as("vec_id"))
-        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-        exact.groupBy("qid").agg(count(lit(1)).as("k"))
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            round(coalesce(col("n_hits"), lit(0)) / col("k"), 4).as("recall"))
-          .orderBy("qid")
+          .select(col("qid"), col("vec_id")).localCheckpoint()
+        def recallOf(name: String, method: String) = {
+          val raw = defs.find(_.name == name).get.build(s, d)
+          // s02 names its keys q_id/c_id; s04 uses qid/vec_id
+          val approx =
+            if (raw.columns.contains("q_id"))
+              raw.select(col("q_id").as("qid"), col("c_id").as("vec_id"))
+            else raw.select(col("qid"), col("vec_id"))
+          val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+          exact.groupBy("qid").agg(count(lit(1)).as("k"))
+            .join(hits, Seq("qid"), "left")
+            .select(col("qid"), lit(method).as("method"),
+              round(coalesce(col("n_hits"), lit(0)) / col("k"), 4).as("recall"))
+        }
+        recallOf("s02_ann_lsh_topk", "lsh")
+          .unionByName(recallOf("s04_ann_ivf_topk", "ivf"))
+          .orderBy("qid", "method")
       })
   )
 }
