@@ -44,20 +44,33 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = listener.bytes.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a beat before snapshotting
       Thread.sleep(50L)
-      (name, sec, (listener.bytes.get() - s0) / 1e6)
+      (name, sec, (listener.bytes.get() - s0) / 1e6, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Per-query shuffle bytes go to a side file, not the stdout JSON line:
+    // the driver's tail capture is narrow, and a 4 KB line gets truncated
+    // (round 1 lost its bench record that way).
+    val sh = results.map { case (k, _, mb, _) => "\"" + k + "\":" + f"$mb%.2f" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, mb) => "\"" + k + "\":" + f"$mb%.2f" }
+    val shPath = java.nio.file.Paths.get("target/bench_shuffle_mb.json")
+    java.nio.file.Files.createDirectories(shPath.getParent)
+    java.nio.file.Files.write(shPath, sh.getBytes("UTF-8"))
+    val ok   = results.filter(_._4.isEmpty)
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val errPart =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     spark.stop()
+    // final line of output, compact (3-decimal secs, no shuffle map) so the
+    // driver's tail window always captures and parses it
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}""")
   }
 }

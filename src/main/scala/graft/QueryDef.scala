@@ -25,5 +25,6 @@ object QueryDef {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      operators.CitationQuality.defs ++
       operators.Pipelines.defs
 }

@@ -157,6 +157,13 @@ final class MockInference extends InferenceClient {
       s"Prose for $title$citeStr."
     case Array("POLISH", rest) =>
       rest + " [polished]"
+    case Array("NLI", rest) =>
+      // rest = <claim>|<source> (claim first: sources may contain pipes).
+      // Deterministic content-dependent entailment: yes iff the first hex
+      // digit of md5(claim|source) falls in 0-7 — reproducible in a DuckDB
+      // oracle as substring(md5(claim || '|' || source), 1, 1) <= '7', and
+      // exercises both branches ~50/50.
+      if (md5Hex(rest).charAt(0) <= '7') "Yes" else "No"
     case Array("DEDUP", rest) =>
       // near-dup removal mock: claims equal after lowercase/punct-strip
       // collapse to their first representative (atomic_facts.py semantics)
@@ -186,6 +193,11 @@ final class MockInference extends InferenceClient {
 
   private def stableTag(s: String): String =
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s, 42))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 }
 
 object MockInference {

@@ -265,6 +265,36 @@ object Dedup {
               .as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("id_a", "id_b")
+      }),
+
+    // ------------------------------------------------- grouped-LLM tree dedup
+    // The FULL A9 halving dataflow (TreeDedup.run) end-to-end with the
+    // deterministic mock model: hash-grouped claims, per-group dedup, then
+    // pairwise group halving for ceil(log2(k0)) rounds. The mock collapses
+    // claims equal after lowercase/punct-strip to their lexicographically
+    // first representative, so the oracle is expressible: min(claim) per
+    // normalized key, plus the halving round count derived from n.
+    QueryDef(
+      "d07_tree_dedup_halving",
+      covers = "A9 X5",
+      oracle = Some("""
+        WITH c AS (SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS claim
+                   FROM documents
+                   WHERE trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''),
+        k AS (SELECT cast(ceil(log2(greatest(ceil(count(*) / 100.0), 1)))
+                          AS bigint) AS n_rounds FROM c)
+        SELECT min(claim) AS claim, (SELECT n_rounds FROM k) AS n_rounds
+        FROM c
+        GROUP BY trim(regexp_replace(lower(claim), '[^a-z0-9]+', ' ', 'g'))
+        ORDER BY claim"""),
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(trim(regexp_replace(col("text"), "\\s+", " ")).as("claim"))
+          .filter(length(col("claim")) > 0)
+        val nRounds = TreeDedup.rounds(docs.count(), 100).length - 1L
+        TreeDedup.run(docs, "claim", new graft.infer.MockInference, groupSize = 100)
+          .withColumn("n_rounds", lit(nRounds))
+          .orderBy("claim")
       })
   )
 }

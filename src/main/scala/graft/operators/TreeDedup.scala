@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.infer.{InferOps, InferenceClient}
-import graft.pipeline.IterativeStage
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,15 +11,44 @@ import org.apache.spark.sql.functions._
   * round) until one remains — a treeAggregate whose combine step is a model
   * call.
   *
-  * Spark form: group ids by `pmod(row_number, ceil(n/groupSize))`; each
-  * round re-keys groups with `pmod(group_id, ceil(k/2))` so pairs of groups
-  * land together, and the merge runs as one batched inference pass — the
-  * loop is `log2(k)` rounds, each a single shuffle keyed by group.
+  * Spark form: the reference assigns groups by arrival order, which is
+  * arbitrary (atomic_facts.py:60-75) — no ordering semantics are needed, so
+  * group ids come from a hash of the claim (`pmod(xxhash64(claim), k0)`),
+  * NOT a global-window row_number: a windowed assignment would sort the
+  * entire corpus through one task, the one scale-killer a 100 TB dedup
+  * cannot afford. Each round re-keys groups with `pmod(group_id, ceil(k/2))`
+  * so pairs of groups land together, and the merge runs as one batched
+  * inference pass — `ceil(log2(k0))` rounds, each a single shuffle keyed by
+  * group.
+  *
+  * The halving schedule follows the *theoretical* group count (k0 = ceil(n /
+  * groupSize), then ceil(k/2) per round) exactly as the reference halves its
+  * group list by position — so the loop needs no per-round distinct-count
+  * action at all.
   */
 object TreeDedup {
 
+  /** Theoretical halving schedule for `n` claims: (round, group count),
+    * starting at round 0 with k0 = max(1, ceil(n / groupSize)) and halving
+    * (ceil) until one group remains. `rounds(n, g).length - 1` is the number
+    * of merge rounds — ceil(log2(k0)). */
+  def rounds(n: Long, groupSize: Int): Seq[(Long, Long)] = {
+    val k0 = math.max(1L, (n + groupSize - 1) / groupSize)
+    val buf = scala.collection.mutable.ArrayBuffer((0L, k0))
+    var k = k0
+    var r = 0L
+    while (k > 1) { r += 1; k = (k + 1) / 2; buf += ((r, k)) }
+    buf.toSeq
+  }
+
+  /** Hash-based initial group assignment — one codegen'd projection, no
+    * window, no sort, no shuffle (the shuffle happens at the groupBy). */
+  private[operators] def assignGroups(
+      claims: DataFrame, claimCol: String, k0: Long): DataFrame =
+    claims.withColumn("group_id", pmod(xxhash64(col(claimCol)), lit(k0)))
+
   /** Deduplicate `claimCol` rows via grouped inference + pairwise halving.
-    * Returns (group_id=0 rows of the final round). The client sees
+    * Returns the surviving claims of the final round. The client sees
     * `DEDUP|<claims joined by \n>` prompts and must return the deduplicated
     * claims, one per line. */
   def run(
@@ -29,13 +57,9 @@ object TreeDedup {
       client: InferenceClient,
       groupSize: Int = 300,
       maxRounds: Int = 32): DataFrame = {
-    val spark = claims.sparkSession
-    import org.apache.spark.sql.expressions.Window
     val n = claims.count()
-    val nGroups0 = math.max(1L, math.ceil(n.toDouble / groupSize).toLong)
-    val w = Window.orderBy(claimCol)
-    val grouped = claims
-      .withColumn("group_id", pmod(row_number().over(w).cast("long"), lit(nGroups0)))
+    val schedule = rounds(n, groupSize)
+    val k0 = schedule.head._2
 
     def dedupGroups(df: DataFrame): DataFrame =
       InferOps.complete(
@@ -47,16 +71,12 @@ object TreeDedup {
           explode(split(col("reply"), "\n")).as(claimCol))
         .filter(length(col(claimCol)) > 0)
 
-    var rounds = 0
-    val (out, _) = IterativeStage.loop(
-      dedupGroups(grouped),
-      maxRounds,
-      done = df => df.select("group_id").distinct().count() <= 1) { df =>
-      rounds += 1
-      val k = df.select("group_id").distinct().count()
-      val next = math.max(1L, (k + 1) / 2)
-      dedupGroups(df.withColumn("group_id", pmod(col("group_id"), lit(next))))
+    var cur = dedupGroups(assignGroups(claims, claimCol, k0)).localCheckpoint()
+    schedule.drop(1).take(maxRounds).foreach { case (_, next) =>
+      cur = dedupGroups(
+        cur.withColumn("group_id", pmod(col("group_id"), lit(next))))
+        .localCheckpoint()
     }
-    out.select(claimCol).distinct()
+    cur.select(claimCol).distinct()
   }
 }

@@ -63,24 +63,29 @@ object WebCorpus {
     * minLen ≤ length ≤ maxLen and similarity ≥ threshold, rank by
     * (similarity desc, length desc), take topN; if fewer than topN survive,
     * backfill with the best-ranked rejects (the reference's "top up to n"
-    * behavior). */
+    * behavior).
+    *
+    * `perTopic` is REQUIRED and non-empty: ranking is always within one
+    * survey/topic's crawl (the reference never ranks across surveys), and an
+    * unpartitioned window would funnel the whole corpus through one task —
+    * the single-partition trap this signature now makes unexpressible.
+    * Callers with genuinely one topic pass a constant topic column. */
   def filterAndRank(
-      docs: DataFrame, // url, content, similarity [, partition cols]
+      docs: DataFrame, // url, content, similarity + partition cols
+      perTopic: Seq[String],
       minLen: Int = 350,
       maxLen: Int = 20000,
       minSimilarity: Double = 80.0,
-      topN: Int = 10,
-      perTopic: Seq[String] = Seq.empty): DataFrame = {
+      topN: Int = 10): DataFrame = {
+    require(perTopic.nonEmpty,
+      "filterAndRank requires partition columns: a global window is a " +
+        "single-partition bottleneck at scale")
     val ranked = docs
       .withColumn("doc_len", length(col("content")))
       .withColumn("passes",
         col("doc_len").between(minLen, maxLen) &&
           col("similarity") >= minSimilarity)
-    // rank per topic when given — a global window is a single-partition
-    // bottleneck at scale; the reference ranks within one survey's crawl
-    val base = if (perTopic.isEmpty) Window.partitionBy()
-               else Window.partitionBy(perTopic.map(col): _*)
-    val w = base.orderBy(
+    val w = Window.partitionBy(perTopic.map(col): _*).orderBy(
       col("passes").desc, col("similarity").desc, col("doc_len").desc,
       col("url"))
     ranked

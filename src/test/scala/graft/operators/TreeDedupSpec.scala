@@ -29,4 +29,34 @@ class TreeDedupSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(out.length == 2)
   }
+
+  test("halving schedule is ceil(log2(k0)) rounds of theoretical halving") {
+    assert(TreeDedup.rounds(0, 300) == Seq((0L, 1L)))
+    assert(TreeDedup.rounds(100, 300) == Seq((0L, 1L)))
+    assert(TreeDedup.rounds(900, 300) == Seq((0L, 3L), (1L, 2L), (2L, 1L)))
+    val r5 = TreeDedup.rounds(1500, 300) // k0=5 -> 3,2,1
+    assert(r5.map(_._2) == Seq(5L, 3L, 2L, 1L))
+    assert(r5.length - 1 == 3) // == ceil(log2(5))
+  }
+
+  test("group assignment is hash-based: no window, no sort in the plan") {
+    import spark.implicits._
+    val claims = spark.range(100000L)
+      .selectExpr("concat('claim ', id % 50000) AS claim")
+    val plan = TreeDedup.assignGroups(claims, "claim", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("100k claims dedup end-to-end without a global window") {
+    import spark.implicits._
+    // 100k rows, 50k distinct claims after normalization
+    val claims = spark.range(100000L)
+      .selectExpr("concat('claim ', id % 50000) AS claim")
+    val out = TreeDedup.run(claims, "claim", new MockInference,
+      groupSize = 5000)
+    assert(out.count() == 50000L)
+  }
 }

@@ -26,13 +26,13 @@ class WebCorpusSpec extends SparkTestBase {
 
   test("filterAndRank keeps passing docs first, backfills to topN (F6/W4)") {
     val docs = Seq(
-      ("u1", "x" * 400, 95.0),   // passes
-      ("u2", "x" * 500, 85.0),   // passes
-      ("u3", "x" * 100, 99.0),   // too short -> backfill candidate
-      ("u4", "x" * 400, 10.0),   // low similarity -> backfill candidate
-      ("u5", "x" * 30000, 90.0)) // too long -> backfill candidate
-      .toDF("url", "content", "similarity")
-    val top3 = WebCorpus.filterAndRank(docs, topN = 3)
+      ("t", "u1", "x" * 400, 95.0),   // passes
+      ("t", "u2", "x" * 500, 85.0),   // passes
+      ("t", "u3", "x" * 100, 99.0),   // too short -> backfill candidate
+      ("t", "u4", "x" * 400, 10.0),   // low similarity -> backfill candidate
+      ("t", "u5", "x" * 30000, 90.0)) // too long -> backfill candidate
+      .toDF("topic", "url", "content", "similarity")
+    val top3 = WebCorpus.filterAndRank(docs, perTopic = Seq("topic"), topN = 3)
     val urls = top3.orderBy(desc("passes"), desc("similarity")).select("url")
       .collect().map(_.getString(0)).toSeq
     assert(urls.length == 3)
@@ -45,9 +45,17 @@ class WebCorpusSpec extends SparkTestBase {
       ("t1", "u1", "x" * 400, 90.0), ("t1", "u2", "x" * 400, 80.0),
       ("t2", "u3", "x" * 400, 70.0), ("t2", "u4", "x" * 400, 60.0))
       .toDF("topic", "url", "content", "similarity")
-    val top1 = WebCorpus.filterAndRank(docs, topN = 1, minSimilarity = 50.0,
-      perTopic = Seq("topic"))
+    val top1 = WebCorpus.filterAndRank(docs, perTopic = Seq("topic"),
+      topN = 1, minSimilarity = 50.0)
     assert(top1.select("url").collect().map(_.getString(0)).toSet ==
       Set("u1", "u3"))
+  }
+
+  test("filterAndRank refuses an empty partition-column list") {
+    val docs = Seq(("t", "u1", "x" * 400, 95.0))
+      .toDF("topic", "url", "content", "similarity")
+    intercept[IllegalArgumentException] {
+      WebCorpus.filterAndRank(docs, perTopic = Seq.empty)
+    }
   }
 }
