@@ -26,5 +26,6 @@ object QueryDef {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.CitationQuality.defs ++
+      operators.EvalSuite.defs ++
       operators.Pipelines.defs
 }

@@ -39,6 +39,66 @@ object EvalScoring {
       .agg(avg("score").as("accuracy"), count(lit(1)).as("n"))
   }
 
+  /** zh QA (compute_scores.py:82-104): char-level token F1, max over the
+    * gold set, averaged — the scorer behind longbook_qa_chn that
+    * [[TextFunctions.normalizeAnswerZh]] existed for. */
+  def zhQaScore(preds: DataFrame): DataFrame = {
+    val f1 = udf((p: String, gs: Seq[String]) =>
+      if (gs.isEmpty) 0.0 else gs.map(TextFunctions.tokenF1Zh(p, _)).max)
+    preds
+      .withColumn("score", f1(col("prediction"), col("ground_truths")))
+      .agg(avg("score").as("accuracy"), count(lit(1)).as("n"))
+  }
+
+  /** En.Sum (compute_scores.py:317-325): ROUGE-Lsum F-measure against the
+    * gold summary, averaged. Also exposes rouge1/rouge2/rougeL means, the
+    * standard reporting set. */
+  def rougeScore(preds: DataFrame): DataFrame = {
+    val r = udf((p: String, gs: Seq[String]) =>
+      if (gs.isEmpty) Seq(0.0, 0.0, 0.0, 0.0)
+      else Seq(
+        gs.map(TextFunctions.rougeN(p, _, 1)).max,
+        gs.map(TextFunctions.rougeN(p, _, 2)).max,
+        gs.map(TextFunctions.rougeL(p, _)).max,
+        gs.map(TextFunctions.rougeLsum(p, _)).max))
+    preds
+      .withColumn("r", r(col("prediction"), col("ground_truths")))
+      .agg(
+        avg(col("r")(0)).as("rouge1"),
+        avg(col("r")(1)).as("rouge2"),
+        avg(col("r")(2)).as("rougeL"),
+        avg(col("r")(3)).as("rougeLsum"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Answer post-processing (process_answer.py:28-57) as a native column
+    * transform: text after the LAST answer prefix, re-prefixed for
+    * choice-style tasks, confidence-annotation-stripped for QA/sum tasks.
+    * Pure `regexp_extract` (greedy `.*` anchors the LAST occurrence) so it
+    * stays inside codegen and has a DuckDB-identical twin for the oracle.
+    * The full edge-case kernel (empty-after-prefix, 答案： path) is
+    * [[TextFunctions.stripAnswerPrefix]], spec-tested; this column form
+    * assumes well-formed predictions (prefix followed by ≥1 char). */
+  def postProcessAnswer(pred: org.apache.spark.sql.Column,
+      task: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val afterLast = regexp_extract(pred, "(?s).*Answer:.(.*)$", 1)
+    val noConf    = when(afterLast.contains("Confidence Score:"),
+        regexp_extract(afterLast, "(?s)^(.*)Confidence Score:", 1))
+      .otherwise(afterLast)
+    when(!pred.contains("Answer:"), pred)
+      .when(task.isin("code_debug", "longbook_choice_eng"),
+        concat(lit("answer: "), afterLast))
+      .when(task.isin("longbook_qa_eng", "longbook_qa_chn",
+          "longdialogue_qa_eng", "longbook_sum_eng"), noConf)
+      .otherwise(pred)
+  }
+
+  /** UDF form of [[TextFunctions.stripAnswerPrefix]] — the full edge-case
+    * kernel, for callers that need the 答案：/ prefix-at-end semantics the
+    * column form above trades away for codegen. */
+  val stripAnswerPrefixUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((p: String, task: String) => TextFunctions.stripAnswerPrefix(p, task))
+
   private def scored(preds: DataFrame, correct: org.apache.spark.sql.Column) =
     preds
       .withColumn("score", when(correct, 1.0).otherwise(0.0))

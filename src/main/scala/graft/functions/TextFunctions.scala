@@ -212,6 +212,164 @@ object TextFunctions {
     }
   }
 
+  /** Character-level token F1 for Chinese answers (the zh path of
+    * compute_scores.py:82-104 `qa_f1_score_zh`): normalize via
+    * [[normalizeAnswerZh]], one character = one token, bag-F1. */
+  def tokenF1Zh(pred: String, gold: String): Double = {
+    val p = normalizeAnswerZh(pred).toCharArray.map(_.toString)
+    val g = normalizeAnswerZh(gold).toCharArray.map(_.toString)
+    bagF1(p, g)
+  }
+
+  private def bagF1(p: Array[String], g: Array[String]): Double = {
+    if (p.isEmpty || g.isEmpty) return if (p.sameElements(g)) 1.0 else 0.0
+    val gCounts = g.groupBy(identity).view.mapValues(_.length).toMap
+    var common  = 0
+    val used    = scala.collection.mutable.Map.empty[String, Int]
+    p.foreach { w =>
+      val have = used.getOrElse(w, 0)
+      if (have < gCounts.getOrElse(w, 0)) { common += 1; used(w) = have + 1 }
+    }
+    if (common == 0) 0.0
+    else {
+      val prec = common.toDouble / p.length
+      val rec  = common.toDouble / g.length
+      2 * prec * rec / (prec + rec)
+    }
+  }
+
+  // -------------------------------------------------------------- ROUGE
+  // The En.Sum scorer the reference delegates to HuggingFace `evaluate`
+  // (compute_scores.py:317-325 → rougeLsum). Implemented fresh from the
+  // published ROUGE definitions (Lin 2004): lowercase alnum tokenization,
+  // clipped n-gram overlap for ROUGE-N, token-LCS for ROUGE-L, and
+  // newline-sentence union-LCS for ROUGE-Lsum. F-measure returned.
+
+  /** ROUGE tokenizer: lowercase, alnum runs only. */
+  def rougeTokens(s: String): Array[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def fMeasure(overlap: Int, pLen: Int, rLen: Int): Double =
+    if (overlap == 0 || pLen == 0 || rLen == 0) 0.0
+    else {
+      val p = overlap.toDouble / pLen
+      val r = overlap.toDouble / rLen
+      2 * p * r / (p + r)
+    }
+
+  /** ROUGE-N F-measure: clipped n-gram overlap. */
+  def rougeN(pred: String, ref: String, n: Int): Double = {
+    def grams(toks: Array[String]): Map[Seq[String], Int] =
+      if (toks.length < n) Map.empty
+      else toks.sliding(n).map(_.toSeq).toSeq.groupBy(identity).view.mapValues(_.length).toMap
+    val pg = grams(rougeTokens(pred))
+    val rg = grams(rougeTokens(ref))
+    val overlap = pg.iterator.map { case (g, c) => math.min(c, rg.getOrElse(g, 0)) }.sum
+    fMeasure(overlap, pg.valuesIterator.sum, rg.valuesIterator.sum)
+  }
+
+  /** Length of the longest common subsequence of two token arrays. */
+  def lcsLength(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val prev = new Array[Int](b.length + 1)
+    val cur  = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      var j = 1
+      while (j <= b.length) {
+        cur(j) =
+          if (a(i - 1) == b(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      Array.copy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** ROUGE-L F-measure: sequence-level LCS. */
+  def rougeL(pred: String, ref: String): Double = {
+    val p = rougeTokens(pred)
+    val r = rougeTokens(ref)
+    fMeasure(lcsLength(p, r), p.length, r.length)
+  }
+
+  /** Reference-token indices participating in the LCS of `ref` and `cand`
+    * (the union-LCS building block of summary-level ROUGE-L). */
+  private def lcsRefIndices(ref: Array[String], cand: Array[String]): Set[Int] = {
+    if (ref.isEmpty || cand.isEmpty) return Set.empty
+    val dp = Array.ofDim[Int](ref.length + 1, cand.length + 1)
+    var i = 1
+    while (i <= ref.length) {
+      var j = 1
+      while (j <= cand.length) {
+        dp(i)(j) =
+          if (ref(i - 1) == cand(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+        j += 1
+      }
+      i += 1
+    }
+    // backtrack, collecting matched ref positions
+    val hits = scala.collection.mutable.Set.empty[Int]
+    var ii = ref.length; var jj = cand.length
+    while (ii > 0 && jj > 0) {
+      if (ref(ii - 1) == cand(jj - 1) && dp(ii)(jj) == dp(ii - 1)(jj - 1) + 1) {
+        hits += (ii - 1); ii -= 1; jj -= 1
+      } else if (dp(ii - 1)(jj) >= dp(ii)(jj - 1)) ii -= 1
+      else jj -= 1
+    }
+    hits.toSet
+  }
+
+  /** ROUGE-Lsum F-measure: split both texts into newline sentences; for each
+    * reference sentence take the union over candidate sentences of its LCS
+    * hit positions; hits/|cand| precision, hits/|ref| recall. */
+  def rougeLsum(pred: String, ref: String): Double = {
+    def sents(s: String): Seq[Array[String]] =
+      s.split("\n").toSeq.map(rougeTokens).filter(_.nonEmpty)
+    val ps = sents(pred)
+    val rs = sents(ref)
+    val m  = rs.map(_.length).sum
+    val n  = ps.map(_.length).sum
+    val hits = rs.map { r =>
+      ps.foldLeft(Set.empty[Int])((acc, c) => acc ++ lcsRefIndices(r, c)).size
+    }.sum
+    fMeasure(hits, n, m)
+  }
+
+  /** InfiniteBench answer post-processing (process_answer.py:28-57
+    * `task_special_process`): find the LAST answer prefix ("Answer:" /
+    * "答案："); for choice-style tasks re-prefix with "answer: "; for QA/sum
+    * tasks keep only the text after it, with any trailing confidence-score
+    * annotation removed; all other tasks pass through unchanged. Note the
+    * reference skips one character after the prefix (the separator). */
+  def stripAnswerPrefix(pred: String, task: String): String = {
+    val prefixes = Seq("Answer:", "答案：")
+    val reprefix = Set("code_debug", "longbook_choice_eng")
+    val keepTail = Set(
+      "longbook_qa_eng", "longbook_qa_chn", "longdialogue_qa_eng",
+      "longbook_sum_eng")
+    prefixes.foreach { prefix =>
+      val idx = pred.lastIndexOf(prefix)
+      if (idx >= 0) {
+        if (pred.length < idx + prefix.length + 1) return pred
+        val after = pred.substring(idx + prefix.length + 1)
+        if (reprefix.contains(task)) return "answer: " + after
+        if (keepTail.contains(task)) {
+          var out = after
+          Seq("置信度分数：", "Confidence Score:").foreach { p =>
+            val i = out.lastIndexOf(p)
+            if (i >= 0) out = out.substring(0, i)
+          }
+          return out
+        }
+      }
+    }
+    pred
+  }
+
   /** Extract the body of a fenced block ```label ... ```
     * (cf. process_str.py:8-20). */
   def extractFence(s: String, label: String): Option[String] = {
