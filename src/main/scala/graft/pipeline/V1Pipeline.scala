@@ -25,6 +25,7 @@ object V1Pipeline {
 
   final case class Config(
       chunkBudget: Int = 256,      // tokens per chunk (map stage)
+      chunkOverlap: Int = 0,       // tokens repeated from the previous chunk
       collapseBudget: Int = 512,   // token budget the collapsed set must fit
       binBudget: Int = 384,        // tokens per collapse bin
       maxCollapseIters: Int = 8)
@@ -38,7 +39,7 @@ object V1Pipeline {
       cfg: Config = Config(),
       auditDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
-    registerChunker(spark, cfg.chunkBudget)
+    registerChunker(spark, cfg.chunkBudget, cfg.chunkOverlap)
     // S4: per-stage input/output audit log (cf. LLMxMapReduce_V1/
     // utils.py:30-46) — side-output JSONL per stage when enabled
     def audit(stage: String, df: DataFrame): DataFrame = {
@@ -121,10 +122,18 @@ object V1Pipeline {
         regexp_extract(col("response"), "Confidence Score: (\\d+)", 1)
           .cast("int"))
 
-  /** Register the chunker as a SQL-callable UDF (array generator). */
-  private def registerChunker(spark: SparkSession, budget: Int): Unit =
+  /** Register the chunker as a SQL-callable UDF (array generator). With
+    * `overlap` > 0 each chunk after the first repeats the last `overlap`
+    * tokens of its predecessor (T3 — the reference's separator-aware packing
+    * with overlap, Generator.py:234-299), giving the map stage cross-chunk
+    * context at the cost of `overlap/budget` duplicated tokens. */
+  private def registerChunker(
+      spark: SparkSession, budget: Int, overlap: Int = 0): Unit =
     spark.udf.register("graft_chunk",
-      (text: String) =>
-        graft.functions.TextFunctions.chunkText(
-          Option(text).getOrElse(""), budget))
+      (text: String) => {
+        val t = Option(text).getOrElse("")
+        if (overlap > 0)
+          graft.functions.TextFunctions.chunkTextOverlap(t, budget, overlap)
+        else graft.functions.TextFunctions.chunkText(t, budget)
+      })
 }

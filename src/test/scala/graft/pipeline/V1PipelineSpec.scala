@@ -73,6 +73,30 @@ class V1PipelineSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getString(1) == "deep-314159")
   }
 
+  test("chunkOverlap config binds the overlap chunker (T3) and still retrieves") {
+    import spark.implicits._
+    val docs = Seq(
+      ("o1", "What is the passkey?", longDoc("opal-791", planted = 57)))
+      .toDF("doc_id", "question", "text")
+    val out = V1Pipeline.run(docs, new MockInference,
+      V1Pipeline.Config(chunkBudget = 24, chunkOverlap = 4,
+        collapseBudget = 200, binBudget = 120))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("o1") == "opal-791")
+    // the run left graft_chunk bound to the overlap variant: each chunk
+    // after the first starts with its predecessor's last `overlap` tokens,
+    // and dropping that prefix reconstructs the document
+    val chunks = spark.sql(
+      s"SELECT graft_chunk('${longDoc("k", planted = -1, total = 20).replace("'", "")}') AS c")
+      .collect().head.getSeq[String](0)
+    assert(chunks.length > 1)
+    chunks.sliding(2).foreach { case Seq(prev, next) =>
+      val pt = prev.split("\\s+").filter(_.nonEmpty)
+      val nt = next.split("\\s+").filter(_.nonEmpty)
+      assert(nt.take(4).toSeq == pt.takeRight(4).toSeq)
+    }
+  }
+
   test("audit sink writes per-stage JSONL side outputs (S4)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
