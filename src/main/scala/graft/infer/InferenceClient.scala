@@ -174,6 +174,21 @@ final class MockInference extends InferenceClient {
             if (seen.contains(key)) (kept, seen)
             else (kept :+ c, seen + key)
         }._1.mkString("\n")
+    case Array("SEARCH", rest) =>
+      // rest = <topic>|<description> → fenced markdown of ;-separated
+      // queries (the get_queries response shape, LLM_search.py:113-121);
+      // quoting one query exercises the quote-stripping parse
+      val topic = rest.split("\\|", 2).head
+      s"""Here are the queries.
+         |```markdown
+         |$topic overview; "$topic survey"; recent advances in $topic;
+         |$topic applications
+         |```""".stripMargin
+    case Array("SNIPPET", rest) =>
+      // rest = <topic>|<snippet> → relevance score 0-100 in the LAST
+      // <SCORE> tag (snippet_filter parses findall(...)[-1]); a decoy
+      // first tag exercises last-match parsing
+      s"<SCORE>999</SCORE> considered. Final: <SCORE>${math.abs(rest.hashCode) % 101}</SCORE>"
     case Array("FIGURE", rest) =>
       // rest = <skeleton md> → one mermaid figure spec per top-level
       // section (the reference's chart node output shape,

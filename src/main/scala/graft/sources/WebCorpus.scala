@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.infer.{InferOps, InferenceClient}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,5 +93,100 @@ object WebCorpus {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topN)
       .drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Search front end (S5/F7 — LLM_search.py:95-151 get_queries,
+  // :307-334 snippet_filter, :336-445 batch_web_search). The web-search
+  // API call itself is an external edge like [[Fetcher]]; everything
+  // deterministic around it is Spark dataflow below.
+
+  /** S5 front half: query expansion. One row per topic in, one row per
+    * (topic, query_idx, query) out. The model answers with a
+    * ```markdown``` fenced block of `;`-separated queries
+    * (LLM_search.py:113-121): parse = extract fence, split on `;`, strip
+    * quotes/whitespace, drop empties. Parsing is native column work; only
+    * the completion crosses the inference seam. */
+  def expandQueries(
+      topics: DataFrame, // topic, description
+      client: InferenceClient): DataFrame = {
+    val asked = InferOps.complete(
+      topics.withColumn("prompt",
+        concat(lit("SEARCH|"), col("topic"), lit("|"),
+          coalesce(col("description"), lit("")))),
+      "prompt", "response", client)
+    val fence = regexp_extract(
+      col("response"), "(?s)```markdown\\s*\\n(.*?)```", 1)
+    asked
+      .withColumn("q",
+        filter(
+          transform(split(fence, ";"), s => trim(regexp_replace(s, "\"", ""))),
+          s => s =!= ""))
+      .select(col("topic"),
+        posexplode(col("q")).as(Seq("query_idx", "query")))
+  }
+
+  /** F7: snippet relevance scoring (snippet_filter): ask the model
+    * `SNIPPET|topic|snippet`, parse the LAST `<SCORE>n</SCORE>` tag, and
+    * clamp malformed / out-of-range answers to 0.0 (the reference's
+    * error-swallowing default). Null/empty snippets never reach the model
+    * (batch_web_search only enqueues truthy snippets). */
+  def scoreSnippets(
+      snippets: DataFrame, // topic, url, snippet + carried cols
+      client: InferenceClient): DataFrame = {
+    val live = snippets.filter(col("snippet").isNotNull && col("snippet") =!= "")
+    val scoredRaw = InferOps.complete(
+      live.withColumn("prompt",
+        concat(lit("SNIPPET|"), col("topic"), lit("|"), col("snippet"))),
+      "prompt", "score_response", client)
+    // greedy .* anchors the LAST <SCORE> tag, like the reference's
+    // re.findall(...)[-1]
+    val parsed = regexp_extract(
+      col("score_response"), "(?s).*<SCORE>(\\d+)</SCORE>", 1)
+    scoredRaw
+      .withColumn("score",
+        when(parsed === "", 0.0)
+          .otherwise(
+            when(parsed.cast("double").between(0, 100), parsed.cast("double"))
+              .otherwise(0.0)))
+      .drop("prompt", "score_response")
+  }
+
+  /** Batch search back half (batch_web_search:336-445): URL dedup is
+    * FIRST-query-wins (`if url in snippet_by_url: continue` — query_idx
+    * order), then scored snippets rank per topic and the top-n URLs
+    * survive. Ties break on url (the reference inherits dict insertion
+    * order; a total order keeps the operator deterministic). All window
+    * work is per-topic — no global sort. */
+  def rankSearchResults(
+      scored: DataFrame, // topic, query_idx, url, score
+      topN: Int = 20): DataFrame = {
+    val firstSeen = Window.partitionBy("topic", "url")
+      .orderBy(col("query_idx"))
+    val rank = Window.partitionBy("topic")
+      .orderBy(col("score").desc, col("url"))
+    scored
+      .withColumn("seen", row_number().over(firstSeen))
+      .filter(col("seen") === 1)
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") <= topN)
+      .select("topic", "url", "score")
+  }
+
+  /** The composed deterministic front end: topics → expanded queries →
+    * (caller-supplied search edge) → scored snippets → top-n URLs per
+    * topic. `searchEdge` plays the web-search API: it receives the
+    * (topic, query_idx, query) frame and returns (topic, query_idx, url,
+    * snippet) rows — tests bind a fixture table, production binds an HTTP
+    * client mapPartitions like [[crawl]]. */
+  def searchFrontEnd(
+      topics: DataFrame,
+      searchEdge: DataFrame => DataFrame,
+      client: InferenceClient,
+      topN: Int = 20): DataFrame = {
+    val queries = expandQueries(topics, client)
+    val results = searchEdge(queries)
+    val scored  = scoreSnippets(results, client)
+    rankSearchResults(scored, topN)
   }
 }
