@@ -90,6 +90,60 @@ object TextAnalysis {
             ceil(col("n_chars") / 3.7).cast("bigint").as("est_bpe_tokens"))
           .orderBy("doc_id")),
 
+    // Boilerplate-removing HTML cleaner (T17 full form — jusText-semantics
+    // block classification, HtmlClean.scala). The fixture wraps each
+    // document's words in content paragraphs (stopword glue → GOOD blocks)
+    // between boilerplate: a link-dense nav, a short promo with a link, a
+    // copyright footer, plus script/head noise. en-path output keeps the
+    // heading + paragraphs; the zh path keeps every block (the reference's
+    // non-spaced-language rule). The oracle reconstructs both expectations
+    // from the raw words.
+    QueryDef(
+      "t05_html_clean",
+      covers = "T17 F6",
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents WHERE len(string_split(text, ' ')) >= 45),
+        paras AS (
+          SELECT doc_id, lang,
+            array_to_string(list_slice(ws, 1, 15), ' and of the in to ') AS p1,
+            array_to_string(list_slice(ws, 16, 30), ' and of the in to ') AS p2,
+            array_to_string(list_slice(ws, 31, 45), ' and of the in to ') AS p3
+          FROM w)
+        SELECT doc_id,
+          CASE WHEN lang = 'zh'
+            THEN 'Home About Contact' || chr(10) || chr(10) ||
+                 'Document ' || doc_id || chr(10) || chr(10) ||
+                 p1 || chr(10) || chr(10) || p2 || chr(10) || chr(10) || p3 ||
+                 chr(10) || chr(10) || 'Short promo text with a link here' ||
+                 chr(10) || chr(10) || '© 2026 Example Corp all rights reserved'
+            ELSE 'Document ' || doc_id || chr(10) || chr(10) ||
+                 p1 || chr(10) || chr(10) || p2 || chr(10) || chr(10) || p3
+          END AS cleaned
+        FROM paras ORDER BY doc_id"""),
+      build = (s, d) => {
+        val cleanUdf = udf((html: String, lang: String) =>
+          graft.functions.HtmlClean.clean(html, lang))
+        val words = split(col("text"), " ")
+        val glue  = " and of the in to "
+        def para(start: Int) =
+          array_join(slice(words, start, 15), glue)
+        val html = concat(
+          lit("<html><head><title>T</title></head><body><script>var x=1;</script>"),
+          lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+          lit("<h1>Document "), col("doc_id").cast("string"), lit("</h1>"),
+          lit("<p>"), para(1), lit("</p><p>"), para(16), lit("</p><p>"), para(31), lit("</p>"),
+          lit("<div>Short promo text with a <a href=\"/buy\">link</a> here</div>"),
+          lit("<div>© 2026 Example Corp all rights reserved</div>"),
+          lit("</body></html>"))
+        Tables.documents(s, d)
+          .filter(size(words) >= 45)
+          .select(col("doc_id"),
+            cleanUdf(html, col("lang")).as("cleaned"))
+          .orderBy("doc_id")
+      }),
+
     // Document fingerprint: md5 of the canonical text form (T16/X5 exact
     // half) — the key exact-dedup runs on.
     QueryDef(
