@@ -222,6 +222,35 @@ object Relational {
           .orderBy("name_a", "name_b")
       }),
 
+    // --------------------------------------------------------------- Q33
+    // The scalable form of Q10's fuzzy join (J4 at corpus scale): same
+    // result, but candidate generation is a deletion-neighborhood equi-join
+    // (FastSS/SymSpell blocking): each key explodes into its ≤1-deletion
+    // variants, variants equi-join (shuffle on short strings, broadcastable
+    // when one side is small), pairs dedup, and only candidates pay the
+    // levenshtein verify. No nested-loop join anywhere — this is the plan
+    // that survives a 10^6-row bibkey repair, unlike q10's broadcast-NLJ
+    // (fine for 25 nations, quadratic in general).
+    QueryDef(
+      "q33_fuzzy_join_blocked",
+      covers = "J4",
+      oracle = Some("""
+        SELECT n1.n_name AS name_a, n2.n_name AS name_b
+        FROM nation n1 JOIN nation n2
+          ON n1.n_nationkey < n2.n_nationkey
+         AND levenshtein(n1.n_name, n2.n_name) <= 1
+        ORDER BY name_a, name_b"""),
+      build = (s, d) => {
+        val n1 = Tables.nation(s, d).select(
+          col("n_nationkey").as("key_a"), col("n_name").as("name_a"))
+        val n2 = Tables.nation(s, d).select(
+          col("n_nationkey").as("key_b"), col("n_name").as("name_b"))
+        fuzzyJoinBlocked(n1, n2, "name_a", "name_b", maxDist = 1)
+          .filter(col("key_a") < col("key_b"))
+          .select("name_a", "name_b")
+          .orderBy("name_a", "name_b")
+      }),
+
     // ---------------------------------------------------------------- Q11
     // Range join: pairs of events of one user within 10 minutes. The user_id
     // equi-key keeps this a hash/SMJ join with a range residual — it scales
@@ -696,6 +725,39 @@ object Relational {
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("g"))
   )
+
+  /** Edit-distance join via deletion-neighborhood blocking (J4's scalable
+    * form; the FastSS / SymSpell candidate scheme): lev(a,b) ≤ 1 implies
+    * the 1-deletion variant sets of a and b intersect, so an equi-join on
+    * variants is a recall-complete candidate generator and levenshtein runs
+    * only on candidates. Both explodes are narrow (≤ len+1 short strings per
+    * key), the join is a plain shuffle/broadcast hash join on a string key,
+    * and nothing is quadratic — the shape that holds on 10^6-key sides where
+    * a nested-loop join would not.
+    *
+    * maxDist > 1 composes the same way with k-deletion subsets but the
+    * variant count grows C(len, k); beyond k≈2 prefer segment (PassJoin)
+    * blocking. Only k=1 is exposed until an operator needs more.
+    */
+  def fuzzyJoinBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "deletion-neighborhood blocking implemented for maxDist = 1")
+    def variants(c: Column): Column =
+      array_distinct(concat(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+    val l = left.withColumn("__lv", explode(variants(col(leftKey))))
+    val r = right.withColumn("__rv", explode(variants(col(rightKey))))
+    l.join(r, col("__lv") === col("__rv"))
+      .drop("__lv", "__rv")
+      .distinct()
+      .filter(levenshtein(col(leftKey), col(rightKey)) <= maxDist)
+  }
 
   /** Shared Q04/Q05 core: cumulative-cents bin id per (order, line). The
     * window sort key is extended to (linenumber, price, partkey, suppkey) —

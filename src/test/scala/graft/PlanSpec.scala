@@ -63,6 +63,14 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q33: blocked fuzzy join is an equi-join, never a nested loop") {
+    val p = plan("q33_fuzzy_join_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("d03: minhash signatures compute scan-side (no shuffle before bands)") {
     val df = SparkEntry.queries("d03_minhash_lsh")(spark, dir)
     val p  = df.queryExecution.executedPlan.toString()
