@@ -48,6 +48,11 @@ object Bench {
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val sec = (System.nanoTime() - t0) / 1e9
+      // release per-query state between queries: localCheckpoint blocks are
+      // only reaped by the ContextCleaner after their DataFrames are GC'd —
+      // without this, block-manager growth inflates late queries' times
+      spark.sqlContext.clearCache()
+      System.gc()
       // listener events are async; give the bus a beat before snapshotting
       Thread.sleep(50L)
       (name, sec, (listener.bytes.get() - s0) / 1e6, err)

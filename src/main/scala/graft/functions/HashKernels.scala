@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row signature kernels for the dedup family (X5):
+  *
+  * The round-1 shapes computed MinHash/SimHash signatures by exploding
+  * shingles/tokens and aggregating back per doc — one doc-keyed shuffle of
+  * the full shingle volume per query, plus 8 Catalyst md5 calls per exploded
+  * row. These kernels compute the complete signature row-locally in one
+  * expression: the scan emits (doc_id, signature) directly and the ONLY
+  * shuffle left in the dedup queries is the band-key candidate join. At
+  * 100 TB that removes the largest exchange (the corpus's shingles) from the
+  * plan entirely.
+  *
+  * Hash formulations are unchanged and oracle-compatible:
+  *   - shingles: distinct 3-word shingles of the single-space token split
+  *   - minhash:  sig[h] = min over shingles of md5("h|" + shingle), hex —
+  *     identical to DuckDB's md5() (hex order == byte order, so minima agree)
+  *   - simhash:  per-bit majority of xxhash64(token, seed 42) — the same
+  *     XxHash64Function Spark's `xxhash64` uses
+  */
+object HashKernels {
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic byte compare (== hex-string order). */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Distinct 3-word shingles, first-occurrence order; null if < 3 tokens
+    * (mirrors the explode form's `lead(2) IS NOT NULL` filter). */
+  private def shingleSet(text: UTF8String): java.util.LinkedHashSet[String] = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val set = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    set
+  }
+
+  def shingles(text: UTF8String): ArrayData = {
+    val set = shingleSet(text)
+    if (set == null) return null
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** 8-element MinHash signature (hex md5 minima under salts "0|".."7|"). */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val set = shingleSet(text)
+    if (set == null) return null
+    val digest = md.get()
+    val mins = new Array[Array[Byte]](8)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      var h = 0
+      while (h < 8) {
+        digest.reset()
+        val d = digest.digest((h.toString + "|" + s).getBytes("UTF-8"))
+        if (mins(h) == null || less(d, mins(h))) mins(h) = d
+        h += 1
+      }
+    }
+    new GenericArrayData(
+      mins.map(m => UTF8String.fromString(hex(m)): Any))
+  }
+
+  /** 64-bit SimHash over distinct whitespace tokens (xxhash64 seed 42). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(toks(i)), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------- expressions
+
+  abstract class KernelExpr extends UnaryExpression {
+    override def nullable: Boolean = true
+    protected def kernelCall: String // e.g. "graft.functions.HashKernels.shingles"
+
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $kernelCall($c);
+        ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  case class ShinglesExpr(child: Expression) extends KernelExpr {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def kernelCall = "graft.functions.HashKernels.shingles"
+    override def nullSafeEval(t: Any): Any = shingles(t.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class MinHashSigExpr(child: Expression) extends KernelExpr {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def kernelCall = "graft.functions.HashKernels.minhashSig"
+    override def nullSafeEval(t: Any): Any = minhashSig(t.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(t: Any): Any = simhash64(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Register the kernels as SQL functions (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", es => ShinglesExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", es => MinHashSigExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", es => SimHash64Expr(es.head), "built-in")
+  }
+
+  def shinglesCol(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_shingles", c)
+  }
+
+  def minhashSigCol(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_minhash_sig", c)
+  }
+
+  def simhash64Col(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_simhash64", c)
+  }
+}

@@ -105,25 +105,26 @@ object CitationQuality {
       papers: DataFrame,  // survey_id, idx, text
       client: InferenceClient): DataFrame = {
     val pairs = nliPairs(claimPairs(surveys), papers, client)
-      .localCheckpoint() // inference runs once, feeds several aggregates
+    // ONE aggregation pass consumes the NLI output: ok_claims ("sentences
+    // with ≥1 entailed pair") is countDistinct(entailed-gated sentence), so
+    // no second groupBy, no re-inference, no checkpoint — at scale the pairs
+    // stream straight from the inference mapPartitions into a partial agg.
     val agg = pairs.groupBy("survey_id").agg(
       count(lit(1)).as("n_pairs"),
       sum(when(col("entailed"), 1).otherwise(0)).as("ok_pairs"),
       countDistinct(col("sentence")).as("n_claims"),
+      countDistinct(when(col("entailed"), col("sentence"))).as("ok_claims"),
       countDistinct(when(col("entailed"), col("citation_idx"))).as("ok_refs"),
       countDistinct(col("citation_idx")).as("cited_refs"))
-    val claimOk = pairs.groupBy("survey_id", "sentence")
-      .agg(max(when(col("entailed"), 1).otherwise(0)).as("any_ok"))
-      .groupBy("survey_id").agg(sum(col("any_ok")).as("ok_claims"))
     val nPapers = papers.groupBy("survey_id")
       .agg(count(lit(1)).as("n_papers"))
     val nSent = surveys.select(col("survey_id"),
       sentenceCount(body(col("content"))).as("n_sentences"))
-    agg.join(claimOk, Seq("survey_id"), "left")
+    agg
       .join(nPapers, Seq("survey_id"))
       .join(nSent, Seq("survey_id"))
       .select(col("survey_id"),
-        round(coalesce(col("ok_claims"), lit(0)) / col("n_claims"), 6)
+        round(col("ok_claims") / col("n_claims"), 6)
           .as("claim_precision"),
         round(col("ok_pairs") / col("n_pairs"), 6).as("citation_precision"),
         round(col("ok_refs") / col("n_papers"), 6).as("reference_precision"),

@@ -16,27 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct (doc_id, 3-word shingle) pairs. Shingles come from a window
-    * `lead` over exploded tokens rather than a per-row HOF transform — the
-    * HOF form runs interpreted and dominated the query (~4s at sf0.1); the
-    * window form is one doc-keyed shuffle with codegen'd projections.
-    * Docs shorter than 3 tokens contribute nothing (lead is null). */
-  private def shinglePairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        col("tok").as("t0"),
-        lead("tok", 1).over(w).as("t1"),
-        lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("sh"))
-      .distinct()
-  }
-
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ exact
     QueryDef(
@@ -106,20 +85,18 @@ object Dedup {
           ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id
         ORDER BY id_a, id_b"""),
       build = (s, d) => {
-        // signatures via explode + 8 codegen'd min-aggregates (map-side
-        // combine): one shuffle keyed by doc_id, no interpreted HOFs.
+        // the full 8-hash signature computes row-locally in ONE codegen'd
+        // kernel (HashKernels.MinHashSigExpr): the scan emits (doc_id, sig)
+        // directly — no shingle explode, no doc-keyed shuffle, no groupBy.
         // Same salted-md5 minima as the oracle's per-row formulation.
-        val pairs = shinglePairs(s, d)
-        val hashCols = (0 until 8).map { h =>
-          md5(concat(lit(s"$h|"), col("sh")).cast("binary")).as(s"mh$h")
-        }
-        val minAggs = (0 until 8).map(h => min(col(s"mh$h")).as(s"sig$h"))
-        val sig = pairs.select(col("doc_id") +: hashCols: _*)
-          .groupBy("doc_id")
-          .agg(minAggs.head, minAggs.tail: _*)
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.functions.HashKernels.minhashSigCol(s, col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
         val bandStructs = (0 until 4).map { b =>
           struct(lit(b).as("b"),
-            md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))
+            md5(concat(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2))
               .cast("binary")).as("bkey"))
         }
         val bands = sig
@@ -172,16 +149,17 @@ object Dedup {
         // so the MinHash pipeline runs once, not per branch
         val cand = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
           .localCheckpoint()
-        // collect shingle sets ONLY for docs that appear in a candidate
-        // pair — at scale this is the difference between shuffling the
-        // corpus's shingles and shuffling the candidates'
+        // shingle sets ONLY for docs that appear in a candidate pair, and
+        // row-locally (HashKernels.ShinglesExpr) — no explode, no
+        // collect_set shuffle; the semi-join prunes the scan first
         val candIds = cand
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
           .distinct()
-        val sets = shinglePairs(s, d)
+        val sets = Tables.documents(s, d)
           .join(candIds, Seq("doc_id"), "left_semi")
-          .groupBy("doc_id")
-          .agg(collect_set(col("sh")).as("shingles"))
+          .select(col("doc_id"),
+            graft.functions.HashKernels.shinglesCol(s, col("text")).as("shingles"))
+          .filter(col("shingles").isNotNull)
         val x = sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
         val y = sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
         cand.join(x, "id_a").join(y, "id_b")
@@ -200,26 +178,18 @@ object Dedup {
       covers = "X5 north-star",
       oracle = None,
       build = (s, d) => {
-        // 64 codegen'd conditional-sum aggregates (one per bit) instead of
-        // nested interpreted HOFs: one explode + one groupBy shuffle, all
-        // bit work inside whole-stage codegen.
-        val hashed = Tables.documents(s, d)
+        // the whole 64-bit signature computes row-locally in ONE codegen'd
+        // kernel (HashKernels.SimHash64Expr) — the round-1 explode + 64
+        // bit-aggregates shape shuffled every token hash; this emits
+        // (doc_id, simhash) straight off the scan. Same xxhash64(seed 42)
+        // per-bit majority.
+        val sim = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("token"))
-          .select(col("doc_id"), xxhash64(col("token")).as("h"))
-        val bitAggs = (0 until 64).map { b =>
-          sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1))
-            .as(s"c$b")
-        }
-        val counts = hashed.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val packed = (0 until 64)
-          .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_))
-        val sim = counts.select(col("doc_id"), packed.as("simhash"))
+            graft.functions.HashKernels.simhash64Col(s, col("text")).as("simhash"))
+        val bandExprs = (0 until 4).map(b =>
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
         val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(expr(
-            "transform(sequence(0, 3), b -> " +
-              "shiftright(simhash, 16*b) & 65535)")).as("bkey"))
+          explode(array(bandExprs: _*)).as("bkey"))
         val a = bands.select(col("doc_id").as("id_a"),
           col("simhash").as("sh_a"), col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"),

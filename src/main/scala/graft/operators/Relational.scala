@@ -573,12 +573,15 @@ object Relational {
         WHERE json_extract(j, '$.k')::BIGINT = o_orderkey
           AND json_extract_string(j, '$.s') = o_orderstatus"""),
       build = (s, d) =>
+        // one from_json parse per row, not two get_json_object parses
         Tables.orders(s, d)
           .withColumn("j", to_json(struct(
             col("o_orderkey").as("k"), col("o_orderstatus").as("s"))))
+          .withColumn("p", from_json(col("j"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")))
           .filter(
-            get_json_object(col("j"), "$.k").cast("bigint") === col("o_orderkey") &&
-              get_json_object(col("j"), "$.s") === col("o_orderstatus"))
+            col("p.k") === col("o_orderkey") &&
+              col("p.s") === col("o_orderstatus"))
           .agg(count(lit(1)).as("n"))),
 
     // ---------------------------------------------------------------- Q24
