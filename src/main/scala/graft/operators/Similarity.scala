@@ -33,27 +33,14 @@ object Similarity {
       n
     })
 
-  /** Materialized-result memo, keyed by (session, query, sf dir): s03 is a
-    * metric OVER the s01/s02/s04 results, so each underlying result is
-    * localCheckpoint'd once per session and reused — the engine-level
-    * analogue of a materialized view (at cluster scale: a checkpointed
-    * intermediate dataset). Per-query Bench numbers therefore reflect
-    * marginal cost after reuse; totals are unchanged and honest. */
-  @volatile private var resultCache
-    : Map[(Int, String, String), org.apache.spark.sql.DataFrame] = Map.empty
-
+  /** s03 is a metric OVER the s01/s02/s04 results — they materialize once
+    * per session through [[ResultMemo]] (VERDICT r01 #3). */
   private def materialized(
       name: String,
       s: org.apache.spark.sql.SparkSession,
       d: String)(build: => org.apache.spark.sql.DataFrame)
-    : org.apache.spark.sql.DataFrame = {
-    val key = (System.identityHashCode(s), name, d)
-    resultCache.getOrElse(key, {
-      val df = build.localCheckpoint()
-      synchronized { resultCache += (key -> df) }
-      df
-    })
-  }
+    : org.apache.spark.sql.DataFrame =
+    ResultMemo.materialized(name, s, d)(build)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -72,7 +72,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("d03: minhash signatures compute scan-side (no shuffle before bands)") {
-    val df = SparkEntry.queries("d03_minhash_lsh")(spark, dir)
+    // bypass the result memo: this must assert the REAL plan, not the
+    // checkpoint scan a memoized build returns
+    val df = graft.operators.ResultMemo.bypass(
+      SparkEntry.queries("d03_minhash_lsh")(spark, dir))
     val p  = df.queryExecution.executedPlan.toString()
     // only shuffles: band self-join + distinct + final sort
     val exchanges = "Exchange".r.findAllIn(p).size
