@@ -85,4 +85,64 @@ class StreamsSpec extends SparkTestBase {
     assert(written.count() == batchEvents.count())
     assert(written.columns.sorted.toSeq == Seq("event_id", "event_type"))
   }
+
+  // ---- event-time semantics: watermark eviction and emission timing.
+  // MemoryStream gives batch-by-batch arrival control, so late-data
+  // behavior is pinned, not assumed.
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + minute * 60_000L)
+
+  test("update mode: rows later than the watermark are dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = Streams.tumblingCounts(input.toDF.toDF("ts", "event_type"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("late_upd").start()
+    try {
+      // batch 1: two rows in window [0,5); a row at minute 60 drives the
+      // watermark to 60-10=50 after the batch commits
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(60), "b"))
+      q.processAllAvailable()
+      // batch 2: minute 3 is far below watermark 50 -> evicted; minute 55
+      // is on time -> its window updates
+      input.addData((ts(3), "a"), (ts(55), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("late_upd")
+        .select("wstart", "event_type", "n").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val aMax = rows.filter(_._2 == "a").map(_._3).max
+      assert(aMax == 2, s"late row must not update the closed window: $rows")
+      assert(rows.exists(r => r._2 == "b" && r._3 == 1 &&
+        r._1.endsWith("00:55:00")), s"on-time row missing: $rows")
+    } finally q.stop()
+  }
+
+  test("append mode: a window emits only after the watermark passes its end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = Streams.tumblingCounts(input.toDF.toDF("ts", "event_type"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_app").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"))
+      q.processAllAvailable()
+      assert(spark.table("late_app").isEmpty,
+        "window [0,5) must be held back while the watermark is behind it")
+      // minute 20 -> watermark 10 >= window end 5: the window finalizes
+      input.addData((ts(20), "a"))
+      q.processAllAvailable()
+      input.addData() // one more (empty) batch carries the emission
+      q.processAllAvailable()
+      val emitted = spark.table("late_app")
+        .select("event_type", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(emitted.contains(("a", 2L)),
+        s"finalized window [0,5) should have emitted n=2: ${emitted.toSeq}")
+    } finally q.stop()
+  }
 }
