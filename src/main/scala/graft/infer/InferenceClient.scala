@@ -174,6 +174,14 @@ final class MockInference extends InferenceClient {
             if (seen.contains(key)) (kept, seen)
             else (kept :+ c, seen + key)
         }._1.mkString("\n")
+    case Array("JUDGE", rest) =>
+      // rest = <dimension>|<topic>|<section>. Deterministic 0-5 score from
+      // the first md5 hex digit — DuckDB-reproducible like the NLI verdict
+      // (strpos('0123456789abcdef', ...) - 1), and zero scores occur so the
+      // judge's non-zero filtering (judge.py:334) is exercised. A decoy
+      // first tag exercises last-match parsing.
+      val digit = Integer.parseInt(md5Hex(rest).substring(0, 1), 16)
+      s"analysis <SCORE>999</SCORE> final <SCORE>${digit % 6}</SCORE>"
     case Array("SEARCH", rest) =>
       // rest = <topic>|<description> → fenced markdown of ;-separated
       // queries (the get_queries response shape, LLM_search.py:113-121);

@@ -134,6 +134,44 @@ object CitationQuality {
       .orderBy("survey_id")
   }
 
+  // ------------------------------------------------------- criteria scoring
+  /** The judge's per-dimension survey scoring (judge.py:302-357
+    * `evaluate_survey_dimension` / `evaluate_all_dimensions`): split the
+    * survey into numbered `## N` sections, score every section per dimension
+    * through the inference seam, average the NON-ZERO scores per survey and
+    * dimension (all-zero → 0.0). Section text here is the segment between
+    * `## ` markers (heading + body, sans the marker itself).
+    *
+    * Scale shape: one explode (sections × dimensions), one batched inference
+    * pass, one partial-aggregable groupBy — keyed by survey throughout. */
+  def dimensionScores(
+      surveys: DataFrame, // survey_id, topic, content
+      client: InferenceClient,
+      dims: Seq[String] = Seq("language", "critical")): DataFrame = {
+    val sections = surveys
+      .select(col("survey_id"), col("topic"),
+        explode(split(col("content"), "\n## ")).as("sec"))
+      .filter(col("sec").rlike("^\\d")) // numbered sections only (skips
+      // the pre-heading intro and the References tail, judge.py:303-321)
+    val prompted = sections
+      .withColumn("dim", explode(array(dims.map(lit): _*)))
+      .withColumn("prompt", concat(
+        lit("JUDGE|"), col("dim"), lit("|"), col("topic"), lit("|"), col("sec")))
+    val scored = InferOps.complete(prompted, "prompt", "reply", client)
+      .withColumn("score", // LAST <SCORE> tag, like extract_num_addition
+        regexp_extract(col("reply"), "(?s).*<SCORE>(\\d+)</SCORE>", 1)
+          .cast("int"))
+    def dimAvg(dim: String) =
+      round(coalesce(
+        avg(when(col("dim") === dim && col("score") =!= 0, col("score"))),
+        lit(0.0)), 6)
+    scored.groupBy("survey_id")
+      .agg(
+        dimAvg("language").as("language_score"),
+        dimAvg("critical").as("critical_score"))
+      .orderBy("survey_id")
+  }
+
   // --------------------------------------------------------------- fixture
   // e01 drives the full dataflow over a deterministic survey corpus built
   // from the documents table: 5 surveys, ≤20 papers each, survey text
@@ -253,6 +291,60 @@ object CitationQuality {
       build = (s, d) => {
         val papers = fixturePapers(s, d).localCheckpoint()
         metrics(fixtureSurveys(papers), papers, new MockInference)
+      }),
+
+    // e04 drives the criteria-scoring dataflow over a sectioned fixture:
+    // 5 surveys × 6 numbered sections built from document words, two
+    // dimensions, md5-deterministic mock judge → DuckDB-reproducible.
+    QueryDef(
+      "e04_dimension_scores",
+      covers = "A7 A10 T13",
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT doc_id % 5 AS survey_id,
+                 row_number() OVER (PARTITION BY doc_id % 5 ORDER BY doc_id) - 1 AS idx,
+                 doc_id, text
+          FROM documents),
+        papers AS (SELECT * FROM ranked WHERE idx < 6),
+        sec AS (
+          SELECT survey_id,
+            (idx + 1) || ' Section about doc ' || doc_id || ': ' ||
+            array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+              AS sec
+          FROM papers),
+        scored AS (
+          SELECT survey_id, u.dim AS dim,
+            (strpos('0123456789abcdef',
+               substring(md5(u.dim || '|Topic ' || survey_id || '|' || sec), 1, 1))
+             - 1) % 6 AS score
+          FROM sec, unnest(['language', 'critical']) AS u(dim))
+        SELECT survey_id,
+          round(coalesce(avg(CASE WHEN dim = 'language' AND score <> 0
+                                  THEN score END), 0.0), 6) AS language_score,
+          round(coalesce(avg(CASE WHEN dim = 'critical' AND score <> 0
+                                  THEN score END), 0.0), 6) AS critical_score
+        FROM scored GROUP BY survey_id ORDER BY survey_id"""),
+      build = (s, d) => {
+        val w = Window.partitionBy("survey_id").orderBy("doc_id")
+        val surveys = Tables.documents(s, d)
+          .select((col("doc_id") % 5).as("survey_id"), col("doc_id"), col("text"))
+          .withColumn("idx", row_number().over(w) - 1)
+          .filter(col("idx") < 6)
+          .select(col("survey_id"), struct(col("idx"),
+            concat(lit("\n## "), (col("idx") + 1).cast("string"),
+              lit(" Section about doc "), col("doc_id").cast("string"),
+              lit(": "),
+              array_join(slice(split(col("text"), " "), 1, 12), " "))
+              .as("sec")).as("p"))
+          .groupBy("survey_id")
+          .agg(concat(lit("Intro text."),
+            array_join(
+              transform(array_sort(collect_list(col("p"))), x => x.getField("sec")),
+              ""),
+            lit("\n## References trailing refs")).as("content"))
+          .withColumn("topic",
+            concat(lit("Topic "), col("survey_id").cast("string")))
+        dimensionScores(surveys, new MockInference)
       })
   )
 }

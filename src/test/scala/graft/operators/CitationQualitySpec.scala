@@ -69,4 +69,26 @@ class CitationQualitySpec extends SparkTestBase {
       assert(r.getDouble(4) > 0.0) // coverage: every survey cites something
     }
   }
+
+  test("dimensionScores averages NON-ZERO section scores (judge.py:334)") {
+    // scripted judge: section "1 ..." scores 0, "2 ..." scores 4, "3 ..."
+    // scores 2 for language; critical always 0
+    val scripted = new InferenceClient {
+      override def complete(p: String): String = {
+        val Array(_, dim, _, sec) = p.split("\\|", 4)
+        val n =
+          if (dim == "critical") 0
+          else sec.trim.take(1) match {
+            case "1" => 0; case "2" => 4; case _ => 2
+          }
+        s"<SCORE>$n</SCORE>"
+      }
+    }
+    val surveys = Seq(
+      (1L, "Topic X", "Intro.\n## 1 first\n## 2 second\n## 3 third\n## References x"))
+      .toDF("survey_id", "topic", "content")
+    val Array(r) = CitationQuality.dimensionScores(surveys, scripted).collect()
+    assert(r.getDouble(1) == 3.0) // language: mean(4, 2) — the 0 filtered out
+    assert(r.getDouble(2) == 0.0) // critical: all zero -> 0.0, not null
+  }
 }
