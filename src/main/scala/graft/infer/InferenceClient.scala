@@ -174,6 +174,13 @@ final class MockInference extends InferenceClient {
             if (seen.contains(key)) (kept, seen)
             else (kept :+ c, seen + key)
         }._1.mkString("\n")
+    case Array("FACTS", rest) =>
+      // atomic-fact extraction mock (atomic_facts.py get_atomic_facts):
+      // one fact per sentence, lowercased and punctuation-stripped — a
+      // deterministic normalization a DuckDB oracle can rebuild
+      graft.functions.TextFunctions.splitSentences(rest)
+        .map(_.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim)
+        .filter(_.nonEmpty).mkString("\n")
     case Array("JUDGE", rest) =>
       // rest = <dimension>|<topic>|<section>. Deterministic 0-5 score from
       // the first md5 hex digit — DuckDB-reproducible like the NLI verdict
