@@ -125,6 +125,41 @@ object HashKernels {
     out
   }
 
+  /** All strings obtainable from `text` by deleting at most `k` characters
+    * (the FastSS/SymSpell deletion neighborhood): lev(a,b) ≤ k implies the
+    * ≤k-deletion sets of a and b intersect — delete each side's edited
+    * positions — so an equi-join on variants is a recall-complete candidate
+    * generator for an edit-distance-k join. |result| ≈ C(len, k); intended
+    * for short keys and k ≤ 2 (PassJoin segment blocking is the k>2 path). */
+  def deletionVariants(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var frontier = new java.util.LinkedHashSet[String]()
+    frontier.add(s)
+    var round = 0
+    while (round < k) {
+      val next = new java.util.LinkedHashSet[String]()
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val t = it.next()
+        var i = 0
+        while (i < t.length) {
+          val v = t.substring(0, i) + t.substring(i + 1)
+          if (out.add(v)) next.add(v)
+          i += 1
+        }
+      }
+      frontier = next
+      round += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   // ---------------------------------------------------------- expressions
 
   abstract class KernelExpr extends UnaryExpression {
@@ -163,6 +198,26 @@ object HashKernels {
         c => s"graft.functions.HashKernels.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+  }
+
+  case class DeletionVariantsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      deletionVariants(t.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.deletionVariants($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def deletionVariantsCol(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_del_variants_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => DeletionVariantsExpr(es.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
   }
 
   /** Register the kernels as SQL functions (idempotent). */

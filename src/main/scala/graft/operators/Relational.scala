@@ -251,6 +251,31 @@ object Relational {
           .orderBy("name_a", "name_b")
       }),
 
+    // --------------------------------------------------------------- Q34
+    // The k=2 form over a distinct key set — the actual bibkey-repair shape:
+    // dedup the key universe FIRST (64 names here, ~10^5 bibkeys at scale),
+    // then the blocked join discovers near-miss pairs among distinct keys
+    // only. Same plan guarantees as q33.
+    QueryDef(
+      "q34_fuzzy_join_blocked_k2",
+      covers = "J4 X1",
+      oracle = Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM n a JOIN n b
+          ON a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b"""),
+      build = (s, d) => {
+        val names = Tables.part(s, d).select(col("p_name")).distinct()
+        val n1 = names.select(col("p_name").as("name_a"))
+        val n2 = names.select(col("p_name").as("name_b"))
+        fuzzyJoinBlocked(n1, n2, "name_a", "name_b", maxDist = 2)
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b")
+          .orderBy("name_a", "name_b")
+      }),
+
     // ---------------------------------------------------------------- Q11
     // Range join: pairs of events of one user within 10 minutes. The user_id
     // equi-key keeps this a hash/SMJ join with a range residual — it scales
@@ -739,9 +764,10 @@ object Relational {
     * and nothing is quadratic — the shape that holds on 10^6-key sides where
     * a nested-loop join would not.
     *
-    * maxDist > 1 composes the same way with k-deletion subsets but the
-    * variant count grows C(len, k); beyond k≈2 prefer segment (PassJoin)
-    * blocking. Only k=1 is exposed until an operator needs more.
+    * The ≤k-deletion neighborhood generalizes to any k (variant count
+    * C(len, k) — fine for short keys at k ≤ 2; beyond that prefer segment
+    * (PassJoin) blocking). Variants come from one codegen'd kernel
+    * ([[graft.functions.HashKernels.deletionVariants]]).
     */
   def fuzzyJoinBlocked(
       left: DataFrame,
@@ -749,12 +775,12 @@ object Relational {
       leftKey: String,
       rightKey: String,
       maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1, "deletion-neighborhood blocking implemented for maxDist = 1")
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion-neighborhood blocking exposed for maxDist 1..2 " +
+        "(variant count is C(len, k) — use segment blocking beyond)")
+    val s = left.sparkSession
     def variants(c: Column): Column =
-      array_distinct(concat(
-        array(c),
-        transform(sequence(lit(1), length(c)),
-          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+      graft.functions.HashKernels.deletionVariantsCol(s, c, maxDist)
     val l = left.withColumn("__lv", explode(variants(col(leftKey))))
     val r = right.withColumn("__rv", explode(variants(col(rightKey))))
     l.join(r, col("__lv") === col("__rv"))

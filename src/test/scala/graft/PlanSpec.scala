@@ -71,6 +71,14 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q34: k=2 blocked fuzzy join keeps the equi-join plan") {
+    val p = plan("q34_fuzzy_join_blocked_k2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("d03: minhash signatures compute scan-side (no shuffle before bands)") {
     // bypass the result memo: this must assert the REAL plan, not the
     // checkpoint scan a memoized build returns
