@@ -174,6 +174,21 @@ final class MockInference extends InferenceClient {
             if (seen.contains(key)) (kept, seen)
             else (kept :+ c, seen + key)
         }._1.mkString("\n")
+    case Array("HOST", rest) =>
+      // rest = <task>|<history>. Deterministic planner for the V3 host
+      // loop: the task is a '>'-separated stage plan; answer CALL <first
+      // stage without a success entry in the history>, FINISH when all
+      // succeeded. A stage that keeps failing is re-chosen until the
+      // host's round budget ends — the reference's retry-by-history shape.
+      val (task, hist) = rest.split("\\|", 2) match {
+        case Array(t, h) => (t, h)
+        case _           => (rest, "")
+      }
+      val planned = task.split(">").map(_.trim).filter(_.nonEmpty)
+      val succeeded = hist.split(",").filter(_.endsWith("=success"))
+        .map(_.split(":", 2).last.stripSuffix("=success")).toSet
+      planned.find(s => !succeeded.contains(s))
+        .map(s => s"CALL $s").getOrElse("FINISH")
     case Array("FACTS", rest) =>
       // atomic-fact extraction mock (atomic_facts.py get_atomic_facts):
       // one fact per sentence, lowercased and punctuation-stripped — a
