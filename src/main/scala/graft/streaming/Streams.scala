@@ -129,6 +129,46 @@ object Streams {
       .start()
   }
 
+  /** Per-user rapid-event tracking via custom state
+    * (flatMapGroupsWithState — the D9 monitor as a streaming operator):
+    * for every user, remember the last event time ACROSS micro-batches and
+    * count events arriving within `rapidGap` of their predecessor. This
+    * needs ordering memory between triggers, which no built-in windowed
+    * aggregate expresses — the canonical custom-state case.
+    *
+    * Emits one (user_id, n_events, n_rapid) update row per user per batch.
+    * State is one (timestamp, long, long) per user: at scale the store is
+    * ∝ distinct users and partitions with the groupBy shuffle. */
+  def rapidEventCounts(
+      events: DataFrame, // ts TIMESTAMP, user_id LONG
+      rapidGapMinutes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = rapidGapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (lastMicros, total, rapid) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          // iterator order within a batch is not guaranteed — sort by time
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t) =>
+            val micros = t.getTime * 1000L
+            if (lastMicros != Long.MinValue && micros - lastMicros <= gapMicros)
+              rapid += 1
+            total += 1
+            lastMicros = micros
+          }
+          state.update((lastMicros, total, rapid))
+          Iterator((user, total, rapid))
+      }
+      .toDF("user_id", "n_events", "n_rapid")
+  }
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */

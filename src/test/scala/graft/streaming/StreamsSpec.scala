@@ -120,6 +120,30 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom state: rapid-event counts persist ordering memory across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Streams.rapidEventCounts(
+      input.toDF.toDF("user_id", "ts"), rapidGapMinutes = 5)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("rapid").start()
+    try {
+      // batch 1: user 7 at minutes 0 and 2 (gap 2 <= 5 -> one rapid pair)
+      input.addData((7L, ts(0)), (7L, ts(2)))
+      q.processAllAvailable()
+      // batch 2: minute 20 (gap 18, not rapid), minute 21 (gap 1, rapid) —
+      // rapidness vs minute 2 only works if state remembered it
+      input.addData((7L, ts(20)), (7L, ts(21)))
+      q.processAllAvailable()
+      val rows = spark.table("rapid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.contains((7L, 2L, 1L)), s"batch-1 update missing: ${rows.toSeq}")
+      assert(rows.contains((7L, 4L, 2L)), s"batch-2 cumulative wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("append mode: a window emits only after the watermark passes its end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
