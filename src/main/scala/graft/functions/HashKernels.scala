@@ -80,7 +80,10 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
-  /** 8-element MinHash signature (hex md5 minima under salts "0|".."7|"). */
+  /** 8-element MinHash signature (hex md5 minima under salts "0|".."7|").
+    * The digest streams `<salt digit> '|' <shingle bytes>` — the same byte
+    * sequence as md5(h || '|' || s), with one UTF-8 encode per shingle and
+    * zero per-hash string allocation. */
   def minhashSig(text: UTF8String): ArrayData = {
     val set = shingleSet(text)
     if (set == null) return null
@@ -88,11 +91,14 @@ object HashKernels {
     val mins = new Array[Array[Byte]](8)
     val it = set.iterator()
     while (it.hasNext) {
-      val s = it.next()
+      val sBytes = it.next().getBytes("UTF-8")
       var h = 0
       while (h < 8) {
         digest.reset()
-        val d = digest.digest((h.toString + "|" + s).getBytes("UTF-8"))
+        digest.update(('0' + h).toByte)
+        digest.update('|'.toByte)
+        digest.update(sBytes)
+        val d = digest.digest()
         if (mins(h) == null || less(d, mins(h))) mins(h) = d
         h += 1
       }
