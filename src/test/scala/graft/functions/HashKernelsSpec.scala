@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel outputs pinned against naive recomputations — the oracle checks
+  * these at driver time; this catches kernel regressions at test time. */
+class HashKernelsSpec extends SparkTestBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e a b c d e a b c",   // repeated shingles -> dedup
+    "one two three",               // exactly 3 tokens -> 1 shingle
+    "too short",                   // < 3 tokens -> null
+    "")                            // 1 empty token -> null
+
+  test("shingles: distinct 3-grams in first-occurrence order; null under 3 tokens") {
+    val got = HashKernels.shingles(UTF8String.fromString(docs(1)))
+    val want = docs(1).split(" ", -1).sliding(3).map(_.mkString(" ")).toSeq.distinct
+    assert(got.numElements() == want.length)
+    (0 until got.numElements()).foreach(i =>
+      assert(got.getUTF8String(i).toString == want(i)))
+    assert(HashKernels.shingles(UTF8String.fromString("too short")) == null)
+    assert(HashKernels.shingles(UTF8String.fromString("")) == null)
+  }
+
+  test("minhashSig == naive salted-md5 minima") {
+    docs.take(3).foreach { doc =>
+      val sig = HashKernels.minhashSig(UTF8String.fromString(doc))
+      val shingles = doc.split(" ", -1).sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0 until 8).foreach { h =>
+        val want = shingles.map(s => md5hex(s"$h|$s")).min
+        assert(sig.getUTF8String(h).toString == want, s"h=$h doc='$doc'")
+      }
+    }
+  }
+
+  test("simhash64 matches the explode + 64-bit-aggregate dataflow") {
+    import spark.implicits._
+    val df = docs.take(3).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // the round-1 shape, as the independent reference computation
+    val hashed = df
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val want = hashed.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.take(3).zipWithIndex.foreach { case (t, i) =>
+      assert(HashKernels.simhash64(UTF8String.fromString(t)) == want(i.toLong),
+        s"doc $i")
+    }
+  }
+
+  test("deletionVariants: recall-complete for lev <= k (k = 1, 2)") {
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def variants(s: String, k: Int): Set[String] = {
+      val a = HashKernels.deletionVariants(UTF8String.fromString(s), k)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString).toSet
+    }
+    // sizes: "abc" with k=1 -> {abc, bc, ac, ab}
+    assert(variants("abc", 1) == Set("abc", "bc", "ac", "ab"))
+    (1 to 200).foreach { _ =>
+      val a = randStr(4 + rnd.nextInt(5))
+      val b = randStr(4 + rnd.nextInt(5))
+      val d = TextFunctions.levenshtein(a, b)
+      Seq(1, 2).foreach { k =>
+        if (d <= k)
+          assert(variants(a, k).intersect(variants(b, k)).nonEmpty,
+            s"lev('$a','$b')=$d but $k-deletion sets are disjoint")
+      }
+    }
+  }
+}
