@@ -36,6 +36,30 @@ class LakeLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning reaches the fact scan through a join") {
+    import spark.implicits._
+    try {
+      LakeLayout.writeBucketed(
+        Tables.documents(spark, dir), "t_docs_dpp", "doc_id", 2,
+        partitionCols = Seq("source"))
+      // dim arrives as a TABLE (DPP needs a scan-side dim, not a local
+      // relation) carrying a selective filter on the partition key
+      Seq(("src0", "keep"), ("src1", "drop"), ("src2", "drop"))
+        .toDF("source", "tag")
+        .write.mode("overwrite").saveAsTable("t_src_dim")
+      val joined = spark.table("t_docs_dpp")
+        .join(spark.table("t_src_dim").filter(col("tag") === "keep"), "source")
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"fact scan not dynamically pruned:\n${plan.take(2500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_docs_dpp")
+      spark.sql("DROP TABLE IF EXISTS t_src_dim")
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     try {
       LakeLayout.writeBucketed(
