@@ -16,8 +16,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  /** Fact tables get a degenerate-scan guard: the testdata parquet ships as
+    * ONE row group per file, so Spark reads each table as a single split and
+    * every scan-side kernel (MinHash MD5s, SimHash, chunking, text scoring)
+    * runs on one core of 32. When a scan's split count is far below cluster
+    * parallelism, fan out with a round-robin repartition; on a real lake the
+    * scan arrives with thousands of splits and the guard is a no-op. The
+    * decision is memoized per (dir, table) — it depends only on file layout.
+    * Dimensions (region…part) stay plain scans: they broadcast. */
+  /** Only the tables whose scans feed CPU-heavy per-row kernels: for the
+    * relational tables the first shuffle already parallelizes the work, and
+    * a measured fan-out there costs more (full-width exchange) than the
+    * scan-side parallelism buys. */
+  private val fanOutTables = Set("documents", "embeddings")
+  private val fanOutMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def fanOut(df: DataFrame, dir: String, table: String): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val need = fanOutMemo.getOrElseUpdate((dir, table),
+      df.rdd.getNumPartitions * 2 < para)
+    if (need) df.repartition(para) else df
+  }
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table.parquet")
+    if (fanOutTables(table)) fanOut(df, dir, table) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

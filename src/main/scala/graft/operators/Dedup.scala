@@ -261,8 +261,10 @@ object Dedup {
         val docs = Tables.documents(s, d)
           .select(trim(regexp_replace(col("text"), "\\s+", " ")).as("claim"))
           .filter(length(col("claim")) > 0)
-        val nRounds = TreeDedup.rounds(docs.count(), 100).length - 1L
-        TreeDedup.run(docs, "claim", new graft.infer.MockInference, groupSize = 100)
+        val n = docs.count()
+        val nRounds = TreeDedup.rounds(n, 100).length - 1L
+        TreeDedup.run(docs, "claim", new graft.infer.MockInference,
+          groupSize = 100, knownCount = Some(n))
           .withColumn("n_rounds", lit(nRounds))
           .orderBy("claim")
       })

@@ -154,7 +154,11 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .withColumn("features",
             array_to_vector(expr("transform(embedding, x -> cast(x as double))")))
+        // random seeded init instead of k-means||: the || init alone runs
+        // ~2×steps extra distributed passes, and a coarse quantizer does not
+        // need init quality — 5 Lloyd iterations converge either way
         val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+          .setInitMode("random")
           .setFeaturesCol("features").fit(e)
         val centroids = km.clusterCenters.map(_.toArray)
 

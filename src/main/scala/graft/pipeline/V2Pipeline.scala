@@ -157,7 +157,12 @@ object V2Pipeline {
       .withColumn("score", scoreOf(col("raw")))
       .drop("raw")
 
-    var pool = suggestions0.localCheckpoint()
+    // `pool` is referenced twice per layer (sample source + union arm), so
+    // an unchecked plan doubles per layer. Up to 2 layers that's a 4× plan
+    // over ~poolSize rows — cheaper to recompute than to pay a
+    // materialization job per layer; deeper loops checkpoint per layer.
+    val ckpt = cfg.convLayers > 2
+    var pool = if (ckpt) suggestions0.localCheckpoint() else suggestions0
     var layer = 0
     while (layer < cfg.convLayers) {
       // W6: seeded weighted sampling without replacement (A-Res keys)
@@ -183,7 +188,7 @@ object V2Pipeline {
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= cfg.poolSize)
         .drop("rn")
-        .localCheckpoint()
+      if (ckpt) pool = pool.localCheckpoint()
       layer += 1
     }
 
@@ -346,10 +351,13 @@ object V2Pipeline {
     var skeleton = skeletonInit(papers, client).localCheckpoint()
 
     var block = 0
-    var digests = digest(papers, skeleton, client).localCheckpoint()
+    // digest() already returns a checkpointed frame (its J1 conformance
+    // check is an action over it) — re-checkpointing here would materialize
+    // the whole digest set a second time per block
+    var digests = digest(papers, skeleton, client)
     while (block < cfg.blockCount) { // D5 cycle, driver-bounded
       skeleton = refineSkeleton(skeleton, digests, client, cfg).localCheckpoint()
-      digests = digest(papers, skeleton, client).localCheckpoint()
+      digests = digest(papers, skeleton, client)
       block += 1
     }
 
