@@ -24,6 +24,7 @@ object QueryDef {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Lake.defs ++
       operators.Multimodal.defs ++
       operators.CitationQuality.defs ++
       operators.EvalSuite.defs ++

@@ -131,6 +131,38 @@ object HashKernels {
     out
   }
 
+  /** 64-bit SimHash over distinct whitespace tokens, bit source = the first
+    * 8 bytes (big-endian) of md5(token) — bit-identical to DuckDB's
+    * ('0x' || substr(md5(x),1,16))::UBIGINT, which makes the whole SimHash
+    * pipeline oracle-checkable. [[simhash64]] (xxhash64) stays as the scale
+    * path: same dataflow, ~5× cheaper per token, no cross-engine twin. */
+  def simhash64Md5(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](64)
+    val digest = md.get()
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        digest.reset()
+        val d = digest.digest(toks(i).getBytes("UTF-8"))
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** All strings obtainable from `text` by deleting at most `k` characters
     * (the FastSS/SymSpell deletion neighborhood): lev(a,b) ≤ k implies the
     * ≤k-deletion sets of a and b intersect — delete each side's edited
@@ -163,6 +195,78 @@ object HashKernels {
     val it = out.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  // ------------------------------------------------------------- PassJoin
+  // Segment blocking for edit-distance joins at k where the deletion
+  // neighborhood explodes (C(len,k)): split every INDEX-side string into
+  // k+1 segments (pigeonhole: ≤k edits leave ≥1 segment untouched, and an
+  // untouched segment occurs in the probe string shifted by at most k —
+  // the edits before it each shift positions by ≤1). Candidates are then
+  // an equi-join on "slot|len|segment" keys; only candidates pay the
+  // levenshtein verify. Cf. PassJoin (Li, Deng, Feng; VLDB'11) — public
+  // algorithm, re-derived here with a conservative ±k position window.
+
+  /** Start offset of slot `i` when a length-`n` string splits into k+1
+    * even segments, shorter segments first. */
+  private def segStart(n: Int, k: Int, i: Int): Int = {
+    val q = n / (k + 1); val r = n % (k + 1); val firstShort = k + 1 - r
+    if (i < firstShort) q * i
+    else q * firstShort + (q + 1) * (i - firstShort)
+  }
+
+  private def segLen(n: Int, k: Int, i: Int): Int = {
+    val q = n / (k + 1); val r = n % (k + 1)
+    if (i < k + 1 - r) q else q + 1
+  }
+
+  /** Index-side keys: one "slot|len|segment" per slot. Strings of length
+    * ≤ k collapse to the single key "T" (tiny fallback — every probe of
+    * length ≤ 2k mirrors it, and tiny×tiny candidates verify cheaply). */
+  def passjoinIndexKeys(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString; val n = s.length
+    val out = new java.util.ArrayList[Any](k + 1)
+    if (n <= k) out.add(UTF8String.fromString("T"))
+    else {
+      var i = 0
+      while (i <= k) {
+        val st = segStart(n, k, i); val L = segLen(n, k, i)
+        out.add(UTF8String.fromString(
+          i.toString + "|" + n + "|" + s.substring(st, st + L)))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Probe-side keys: for every index length n within ±k of this string's
+    * length and every slot, the substrings starting within ±k of the
+    * slot's nominal position. O((k+1)·(2k+1)²) short keys per string. */
+  def passjoinProbeKeys(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString; val m = s.length
+    val out = new java.util.LinkedHashSet[String]()
+    if (m <= 2 * k) out.add("T")
+    var n = math.max(k + 1, m - k)
+    val nHi = m + k
+    while (n <= nHi) {
+      var i = 0
+      while (i <= k) {
+        val p = segStart(n, k, i); val L = segLen(n, k, i)
+        var st = math.max(0, p - k)
+        val hi = math.min(m - L, p + k)
+        while (st <= hi) {
+          out.add(i.toString + "|" + n + "|" + s.substring(st, st + L))
+          st += 1
+        }
+        i += 1
+      }
+      n += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(arr)
   }
 
@@ -219,6 +323,58 @@ object HashKernels {
       copy(child = c)
   }
 
+  case class SimHash64Md5Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(t: Any): Any =
+      simhash64Md5(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.simhash64Md5($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class PassjoinIndexExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      passjoinIndexKeys(t.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.passjoinIndexKeys($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class PassjoinProbeExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      passjoinProbeKeys(t.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.passjoinProbeKeys($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def passjoinIndexKeysCol(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_passjoin_index_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => PassjoinIndexExpr(es.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  def passjoinProbeKeysCol(spark: SparkSession, c: Column, k: Int): Column = {
+    val name = s"graft_passjoin_probe_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => PassjoinProbeExpr(es.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
   def deletionVariantsCol(spark: SparkSession, c: Column, k: Int): Column = {
     val name = s"graft_del_variants_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -250,5 +406,12 @@ object HashKernels {
   def simhash64Col(spark: SparkSession, c: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_simhash64", c)
+  }
+
+  def simhash64Md5Col(spark: SparkSession, c: Column): Column = {
+    val name = "graft_simhash64_md5"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => SimHash64Md5Expr(es.head), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
   }
 }

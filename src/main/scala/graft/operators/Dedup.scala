@@ -171,21 +171,47 @@ object Dedup {
       }),
 
     // ------------------------------------------------------------ SimHash
-    // 64-bit SimHash from xxhash64 token hashes; candidates = equal 16-bit
-    // band + Hamming distance ≤ 16. xxhash64 has no DuckDB twin → rows-only.
+    // 64-bit SimHash; candidates = equal 16-bit band + Hamming ≤ 16. Bit
+    // source is the first 8 bytes of md5(token) — the same value DuckDB
+    // derives from substr(md5(x),1,16), so the WHOLE pipeline (signature →
+    // bands → hamming verify) is oracle-checked. The xxhash64 kernel
+    // (HashKernels.simhash64) is the drop-in scale path: identical
+    // dataflow, cheaper per token, no cross-engine twin.
     QueryDef(
       "d04_simhash_pairs",
       covers = "X5 north-star",
-      oracle = None,
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+                      FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(t, x -> ('0x' || substr(md5(x),1,16))::UBIGINT) AS hs
+              FROM toks),
+        bits AS (SELECT doc_id,
+                 list_transform(range(0, 64), b ->
+                   CASE WHEN 2 * len(list_filter(hs,
+                          v -> ((v >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(hs)
+                        THEN 1 ELSE 0 END) AS bv
+                 FROM h),
+        bands AS (SELECT doc_id, bv, band,
+                  list_sum(list_transform(range(0,16),
+                    j -> bv[16*band + j + 1] * (1 << j))) AS bkey
+                  FROM bits, unnest([0, 1, 2, 3]) AS u(band)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                        a.bv AS bv_a, c.bv AS bv_b
+                 FROM bands a JOIN bands c
+                   ON a.band = c.band AND a.bkey = c.bkey
+                  AND a.doc_id < c.doc_id)
+        SELECT id_a, id_b,
+               len(list_filter(range(0,64), b -> bv_a[b+1] <> bv_b[b+1])) AS hamming
+        FROM cand WHERE hamming <= 16 ORDER BY id_a, id_b"""),
       build = (s, d) => {
         // the whole 64-bit signature computes row-locally in ONE codegen'd
-        // kernel (HashKernels.SimHash64Expr) — the round-1 explode + 64
+        // kernel (HashKernels.SimHash64Md5Expr) — the round-1 explode + 64
         // bit-aggregates shape shuffled every token hash; this emits
-        // (doc_id, simhash) straight off the scan. Same xxhash64(seed 42)
-        // per-bit majority.
+        // (doc_id, simhash) straight off the scan.
         val sim = Tables.documents(s, d)
           .select(col("doc_id"),
-            graft.functions.HashKernels.simhash64Col(s, col("text")).as("simhash"))
+            graft.functions.HashKernels.simhash64Md5Col(s, col("text")).as("simhash"))
         val bandExprs = (0 until 4).map(b =>
           shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
         val bands = sim.select(col("doc_id"), col("simhash"),

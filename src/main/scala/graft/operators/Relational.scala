@@ -276,6 +276,32 @@ object Relational {
           .orderBy("name_a", "name_b")
       }),
 
+    // --------------------------------------------------------------- Q36
+    // PassJoin segment blocking at k=3 — the regime where q33/q34's
+    // deletion neighborhoods blow up (C(len,3) variants per key) but
+    // segment keys stay O(k) per index row. Same distinct-key-universe
+    // shape as q34; recall-complete by the pigeonhole argument in
+    // HashKernels, verified by levenshtein on candidates only.
+    QueryDef(
+      "q36_fuzzy_join_segmented_k3",
+      covers = "J4 X1",
+      oracle = Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM n a JOIN n b
+          ON a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY name_a, name_b"""),
+      build = (s, d) => {
+        val names = Tables.part(s, d).select(col("p_name")).distinct()
+        val n1 = names.select(col("p_name").as("name_a"))
+        val n2 = names.select(col("p_name").as("name_b"))
+        fuzzyJoinSegmented(n1, n2, "name_a", "name_b", maxDist = 3)
+          .filter(col("name_a") < col("name_b"))
+          .select("name_a", "name_b")
+          .orderBy("name_a", "name_b")
+      }),
+
     // ---------------------------------------------------------------- Q11
     // Range join: pairs of events of one user within 10 minutes. The user_id
     // equi-key keeps this a hash/SMJ join with a range residual — it scales
@@ -785,6 +811,35 @@ object Relational {
     val r = right.withColumn("__rv", explode(variants(col(rightKey))))
     l.join(r, col("__lv") === col("__rv"))
       .drop("__lv", "__rv")
+      .distinct()
+      .filter(levenshtein(col(leftKey), col(rightKey)) <= maxDist)
+  }
+
+  /** Edit-distance join via PassJoin segment blocking — the k ≥ 3 path
+    * where [[fuzzyJoinBlocked]]'s deletion neighborhood explodes
+    * combinatorially. The right side indexes each key as k+1 segment keys;
+    * the left side probes with every substring that could align with an
+    * untouched segment (±k position window); candidates equi-join on the
+    * segment key and only they pay the levenshtein verify. Key volume is
+    * O(k) per index row and O(k³) short strings per probe row — linear in
+    * both inputs, never quadratic, and the join is an ordinary hash join
+    * (broadcastable when one side is small). */
+  def fuzzyJoinSegmented(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val s = left.sparkSession
+    val l = left.withColumn("__pk",
+      explode(graft.functions.HashKernels.passjoinProbeKeysCol(
+        s, col(leftKey), maxDist)))
+    val r = right.withColumn("__ik",
+      explode(graft.functions.HashKernels.passjoinIndexKeysCol(
+        s, col(rightKey), maxDist)))
+    l.join(r, col("__pk") === col("__ik"))
+      .drop("__pk", "__ik")
       .distinct()
       .filter(levenshtein(col(leftKey), col(rightKey)) <= maxDist)
   }

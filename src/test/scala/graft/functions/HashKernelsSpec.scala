@@ -63,6 +63,23 @@ class HashKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64Md5 == naive md5-prefix majority vote") {
+    docs.take(3).foreach { doc =>
+      val toks = doc.split(" ", -1).distinct
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val h = java.lang.Long.parseUnsignedLong(md5hex(t).take(16), 16)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        }
+      }
+      val want = (0 until 64)
+        .map(b => if (counts(b) > 0) 1L << b else 0L).reduce(_ | _)
+      assert(HashKernels.simhash64Md5(UTF8String.fromString(doc)) == want,
+        s"doc='${doc.take(40)}...'")
+    }
+  }
+
   test("deletionVariants: recall-complete for lev <= k (k = 1, 2)") {
     val rnd = new scala.util.Random(42)
     def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
