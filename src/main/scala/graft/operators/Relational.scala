@@ -317,11 +317,20 @@ object Relational {
          AND e1.event_id <> e2.event_id
         GROUP BY e1.user_id ORDER BY e1.user_id"""),
       build = (s, d) => {
+        // time-bucket banding: a pair within 10 min lives in the same or
+        // adjacent 600 s bucket, so joining on (user_id, bucket) — right
+        // side exploded into {bucket-1, bucket} — enumerates only
+        // same/adjacent-bucket pairs instead of every per-user pair, then
+        // the exact range residual filters. Cost scales with per-bucket
+        // density, not per-user history length.
         val e1 = Tables.events(s, d)
           .select(col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
+          .withColumn("bkey", floor(col("ts1").cast("long") / 600L))
+        val b2 = floor(col("ts2").cast("long") / 600L)
         val e2 = Tables.events(s, d)
           .select(col("user_id"), col("ts").as("ts2"), col("event_id").as("id2"))
-        e1.join(e2, Seq("user_id"))
+          .withColumn("bkey", explode(array(b2 - 1, b2)))
+        e1.join(e2, Seq("user_id", "bkey"))
           .filter(
             col("ts2") >= col("ts1") &&
               col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES") &&
