@@ -1,11 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, UnsafeArrayData, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Random-hyperplane LSH bucket computation as ONE compact expression.
   *
@@ -17,11 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row: `lsh_buckets(v) = [bucket_0, …, bucket_{L-1}]` where
   * `bucket_t = Σ_j (v · plane[t*k+j] > 0) << j`.
   *
-  * Plane weights are derived from Spark's own xxhash64 (seed 42) evaluated
-  * driver-side — bit-identical to the SQL formulation
-  * `pmod(xxhash64(concat(p, '_', i)), 2000)/1000.0 - 1.0` that defined the
-  * buckets originally, so results are stable across versions — without
-  * running a Spark job to materialize them.
+  * Plane weights are md5-derived driver-side (see [[LshFunctions]]) —
+  * bit-identical to the DuckDB formulation, so the whole LSH ANN pipeline
+  * is oracle-checkable — without running a Spark job to materialize them.
   */
 case class LshBuckets(
     child: Expression,
@@ -96,18 +93,21 @@ case class LshBuckets(
 
 object LshFunctions {
 
-  /** Deterministic plane weight for (plane p, dim i): evaluates Spark's
-    * XxHash64 on `"<p>_<i>"` (seed 42 — the SQL default) and maps it through
-    * pmod 2000 → [0, 2000) → exact decimal scale-3 division → [-1, 1), in
-    * BigDecimal so the value equals the SQL decimal-then-cast-to-double
-    * result bit for bit. */
+  /** Deterministic plane weight for (plane p, dim i): the first 8 hex chars
+    * of md5("<p>_<i>") as an unsigned 32-bit value, mapped through mod 2000
+    * → [0, 2000) → /1000.0 - 1.0 in IEEE double arithmetic — the exact op
+    * sequence of DuckDB's
+    * `(('0x'||substr(md5(p||'_'||i),1,8))::UBIGINT % 2000)/1000.0 - 1.0`,
+    * which is what makes the LSH ANN oracle-checkable (same trade as the
+    * d04 SimHash bit source: md5 costs more than xxhash64 per value, but
+    * the planes are computed ONCE driver-side, so here it is free). */
   private def weight(p: Int, i: Int): Double = {
-    val h = new XxHash64(
-      Seq(Literal(UTF8String.fromString(s"${p}_$i"), StringType)))
-      .eval(null).asInstanceOf[Long]
-    val pm = ((h % 2000) + 2000) % 2000
-    new java.math.BigDecimal(pm).movePointLeft(3)
-      .subtract(java.math.BigDecimal.ONE).doubleValue()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val d = digest.digest(s"${p}_$i".getBytes("UTF-8"))
+    var h = 0L
+    var j = 0
+    while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    (h % 2000).toDouble / 1000.0 - 1.0
   }
 
   @volatile private var planeCache: Map[(Int, Int), Array[Array[Double]]] = Map.empty

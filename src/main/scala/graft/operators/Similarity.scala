@@ -89,7 +89,39 @@ object Similarity {
     QueryDef(
       "s02_ann_lsh_topk",
       covers = "north-star ANN scale path",
-      oracle = None,
+      // plane weights are md5-derived (LshFunctions.weight), so DuckDB can
+      // rebuild the same hyperplanes and the whole LSH pipeline — bucket
+      // keys, candidate OR across tables, cosine top-k — is hash-checked
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT len(v) AS dims FROM e LIMIT 1),
+        pl AS (SELECT p.p AS p,
+                 list_transform(range(0, (SELECT dims FROM d)), i ->
+                   ((('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR),1,8))::UBIGINT
+                     % 2000) / 1000.0 - 1.0)) AS w
+               FROM range(0, 16) p(p)),
+        signs AS (SELECT e.vec_id, pl.p,
+                    CASE WHEN list_dot_product(e.v, pl.w) > 0 THEN 1 ELSE 0 END AS bit
+                  FROM e, pl),
+        buck AS (SELECT vec_id, p // 4 AS tbl, sum(bit << (p % 4)) AS bucket
+                 FROM signs GROUP BY vec_id, p // 4),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+                 FROM buck q JOIN buck c
+                   ON q.tbl = c.tbl AND q.bucket = c.bucket
+                 WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        scored AS (SELECT q_id, c_id,
+                     round(list_dot_product(qv.v, cv.v) /
+                           (sqrt(list_dot_product(qv.v, qv.v)) *
+                            sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+                   FROM cand
+                   JOIN e qv ON qv.vec_id = q_id
+                   JOIN e cv ON cv.vec_id = c_id),
+        ranked AS (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rn
+                   FROM scored)
+        SELECT q_id, rn, c_id, cos FROM ranked WHERE rn <= $K
+        ORDER BY q_id, rn"""),
       build = (s, d) => materialized("s02_ann_lsh_topk", s, d) {
         // Standard multi-table random-hyperplane LSH: L=4 tables × k=4
         // planes. One 8+-bit table is too strict for weakly-correlated

