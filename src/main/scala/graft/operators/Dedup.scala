@@ -170,6 +170,82 @@ object Dedup {
           .orderBy("id_a", "id_b")
       }),
 
+    // ------------------------------------------------- decontamination join
+    // Cross-corpus near-dup join — the train/test decontamination pass of a
+    // training-data pipeline: candidates are a MinHash band join BETWEEN
+    // the corpus side and the held-out side (source = 'src0' stands in for
+    // the eval set), verified by exact shingle Jaccard. Unlike d03/d06's
+    // self-join this never compares corpus↔corpus rows, and the held-out
+    // side is typically small enough to broadcast — at 100 TB the corpus
+    // streams once past a broadcast eval-set band index.
+    QueryDef(
+      "d08_decontaminate",
+      covers = "X5 J4 north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, source,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id, source,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, source, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+        cand AS (SELECT DISTINCT c.doc_id AS corpus_id, tt.doc_id AS test_id
+                 FROM bands c JOIN bands tt
+                   ON c.bkey = tt.bkey AND c.b = tt.b
+                 WHERE c.source <> 'src0' AND tt.source = 'src0'),
+        ver AS (SELECT cand.corpus_id, cand.test_id,
+                       round(len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+                             len(list_distinct(list_concat(x.shingles, y.shingles))),
+                             6) AS jaccard
+                FROM cand
+                JOIN sh x ON x.doc_id = cand.corpus_id
+                JOIN sh y ON y.doc_id = cand.test_id)
+        SELECT corpus_id, test_id, jaccard FROM ver
+        WHERE jaccard >= 0.5 ORDER BY corpus_id, test_id"""),
+      build = (s, d) => {
+        import graft.functions.HashKernels
+        val docs = Tables.documents(s, d)
+        def bandsOf(df: DataFrame, idName: String) = {
+          val sig = df.select(col("doc_id").as(idName),
+            HashKernels.minhashSigCol(s, col("text")).as("sig"))
+            .filter(col("sig").isNotNull)
+          val bandStructs = (0 until 4).map { b =>
+            struct(lit(b).as("b"),
+              md5(concat(element_at(col("sig"), 2 * b + 1),
+                element_at(col("sig"), 2 * b + 2))
+                .cast("binary")).as("bkey"))
+          }
+          sig.select(col(idName), explode(array(bandStructs: _*)).as("band"))
+            .select(col(idName), col("band.b").as("b"), col("band.bkey").as("bkey"))
+        }
+        val corpusBands = bandsOf(docs.filter(col("source") =!= "src0"), "corpus_id")
+        val testBands   = bandsOf(docs.filter(col("source") === "src0"), "test_id")
+        val cand = corpusBands
+          .join(broadcast(testBands), Seq("b", "bkey"))
+          .select("corpus_id", "test_id")
+          .distinct()
+        // shingle sets only for docs appearing in a candidate pair
+        def setsFor(ids: DataFrame, idName: String, setName: String) =
+          docs.join(ids, docs("doc_id") === ids(idName), "left_semi")
+            .select(col("doc_id").as(idName),
+              HashKernels.shinglesCol(s, col("text")).as(setName))
+            .filter(col(setName).isNotNull)
+        val x = setsFor(cand.select("corpus_id").distinct(), "corpus_id", "sh_c")
+        val y = setsFor(cand.select("test_id").distinct(), "test_id", "sh_t")
+        cand.join(x, "corpus_id").join(broadcast(y), "test_id")
+          .select(col("corpus_id"), col("test_id"),
+            round(size(array_intersect(col("sh_c"), col("sh_t"))) * 1.0 /
+              size(array_union(col("sh_c"), col("sh_t"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("corpus_id", "test_id")
+      }),
+
     // ------------------------------------------------------------ SimHash
     // 64-bit SimHash; candidates = equal 16-bit band + Hamming ≤ 16. Bit
     // source is the first 8 bytes of md5(token) — the same value DuckDB

@@ -79,6 +79,15 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("d08: decontamination broadcasts the eval-set bands") {
+    // the corpus side must stream past a broadcast eval-set index — a
+    // shuffled corpus would be the 100 TB mistake
+    val df = graft.operators.ResultMemo.bypass(
+      SparkEntry.queries("d08_decontaminate")(spark, dir))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("d03: minhash signatures compute scan-side (no shuffle before bands)") {
     // bypass the result memo: this must assert the REAL plan, not the
     // checkpoint scan a memoized build returns
