@@ -214,7 +214,9 @@ object V2Pipeline {
       digests: DataFrame,
       papers: DataFrame,
       client: InferenceClient): DataFrame = {
-    val sections = skeletonRows(skeleton)
+    // referenced by three subplans below (leaves, internals, parents) —
+    // materialize once instead of re-running the parse+explode per branch
+    val sections = skeletonRows(skeleton).localCheckpoint()
 
     // leaves = sections that are nobody's parent
     val parents = sections.filter(size(col("path")) > 1)

@@ -137,7 +137,11 @@ object Trees {
             composeUdf(col("content"), col("child_contents")))
             .otherwise(col("content")).as("content"))
       cur = parents.unionByName(cur.filter(col("depth") =!= (d - 1)))
-        .localCheckpoint()
+      // `cur` is referenced three times by the NEXT level's plan, so
+      // checkpoint between levels — but not after the last one, where the
+      // caller consumes the frame exactly once (for the common depth-2
+      // outline that removes the only materialization job)
+      if (d - 1 >= 2) cur = cur.localCheckpoint()
       d -= 1
     }
     cur
