@@ -167,54 +167,77 @@ object Similarity {
           .orderBy("q_id", "rn")
       }),
 
-    // IVF ANN: k-means coarse quantizer (spark.ml, seeded) partitions the
-    // corpus into cells; queries probe their nprobe nearest cells only.
-    // At scale the corpus stays hash-partitioned by cell — a query touches
-    // cells/nprobe of the data. Deterministic (seed) but not
-    // SQL-expressible → rows-only.
+    // IVF ANN: a coarse quantizer partitions the corpus into cells; queries
+    // probe their nprobe nearest cells only. At scale the corpus stays
+    // hash-partitioned by cell — a query touches nprobe/cells of the data.
+    //
+    // The quantizer is the FAISS-style sampled variant: centroids are the 16
+    // corpus vectors with the smallest md5(vec_id). That choice is (a)
+    // partition-layout-independent — a takeSample-based k-means init changes
+    // with split planning, so results would drift across cluster shapes —
+    // and (b) cross-engine reproducible, which upgrades the whole IVF
+    // dataflow (index build → cell assignment → probe → top-k) from
+    // rows-only to hash-checked against DuckDB. Lloyd refinement is an
+    // orthogonal quality knob: `lloydRefine` below is the spec'd scale path
+    // (treeAggregate, one pass per iteration) a user can layer on.
     QueryDef(
       "s04_ann_ivf_topk",
       covers = "north-star ANN scale path (IVF)",
-      oracle = None,
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                          - 1 AS cell, v AS cv
+                 FROM e),
+        c16 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cc
+                FROM cent WHERE cell < 16),
+        assign AS (SELECT e.vec_id, c16.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY c16.cc - 2 * list_dot_product(e.v, c16.cv),
+                                c16.cell) AS crn
+                   FROM e, c16),
+        cellof AS (SELECT vec_id, cell FROM assign WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, cell FROM assign
+                  WHERE vec_id < 10 AND crn <= 2),
+        scored AS (SELECT p.qid, co.vec_id,
+                     round(list_dot_product(qv.v, cv.v) /
+                           (sqrt(list_dot_product(qv.v, qv.v)) *
+                            sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+                   FROM probe p
+                   JOIN cellof co ON co.cell = p.cell
+                   JOIN e qv ON qv.vec_id = p.qid
+                   JOIN e cv ON cv.vec_id = co.vec_id
+                   WHERE co.vec_id <> p.qid),
+        ranked AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, cos FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""),
       build = (s, d) => materialized("s04_ann_ivf_topk", s, d) {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        import org.apache.spark.ml.linalg.Vector
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           ArrayMath.dot(s, a, b)
-
         val e = Tables.embeddings(s, d)
-          .withColumn("features",
-            array_to_vector(expr("transform(embedding, x -> cast(x as double))")))
-        // random seeded init instead of k-means||: the || init alone runs
-        // ~2×steps extra distributed passes, and a coarse quantizer does not
-        // need init quality — 5 Lloyd iterations converge either way
-        val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-          .setInitMode("random")
-          .setFeaturesCol("features").fit(e)
-        val centroids = km.clusterCenters.map(_.toArray)
-
-        val corpus = km.transform(e)
-          .select(col("vec_id"), col("embedding").as("v"),
-            col("prediction").as("cell"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-
-        // nprobe=2 nearest cells per query vector (driver-side centroid
-        // table is tiny: k × dims doubles)
-        val nearestCells = udf((emb: Seq[Float]) => {
-          val x = emb.map(_.toDouble).toArray
-          centroids.zipWithIndex.map { case (c, i) =>
-            var dist = 0.0
-            var j = 0
-            while (j < x.length) { val t = x(j) - c(j); dist += t * t; j += 1 }
-            (i, dist)
-          }.sortBy(_._2).take(2).map(_._1)
-        })
+        val cents = coarseCentroids(s, d, 16)
+        // per-row argmin over 16 centroids in one codegen pass: an array of
+        // (dist, cell) structs; struct min = (min dist, tie → min cell).
+        // dist = |c|² − 2⟨v,c⟩ (the |v|² term is constant per row); |c|² is
+        // a driver-side double folded left-to-right, bit-identical to the
+        // oracle's list_dot_product
+        def distStructs = cents.map { case (cell, c, cc) =>
+          struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(c)))
+            .as("dist"), lit(cell).as("cell"))
+        }
+        val corpus = e
+          .withColumn("cell", array_min(array(distStructs: _*)).getField("cell"))
+          .select(col("vec_id"), col("embedding").as("v"), col("cell"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        // nprobe=2 nearest cells per query: sort the same struct array
         val queries = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .withColumn("q_nrm", sqrt(dot(col("qv"), col("qv"))))
-          .withColumn("cell", explode(nearestCells(col("qv"))))
-
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            slice(array_sort(array(distStructs: _*)), 1, 2).as("probes"))
+          .select(col("qid"), col("qv"),
+            sqrt(dot(col("qv"), col("qv"))).as("q_nrm"),
+            explode(col("probes.cell")).as("cell"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
         corpus.join(broadcast(queries), Seq("cell"))
           .filter(col("vec_id") =!= col("qid"))
@@ -284,16 +307,151 @@ object Similarity {
       build = (s, d) =>
         recallOf(s, d, "s02_ann_lsh_topk", "lsh").orderBy("qid", "method")),
 
-    // IVF recall: same metric over the k-means path — the coarse quantizer
-    // has no SQL twin (seeded Lloyd iterations), so this half stays
-    // rows-only.
+    // IVF recall: same metric over the IVF path — the sampled coarse
+    // quantizer is SQL-expressible (see s04), so this half is now
+    // oracle-checked too (exact top-k ∩ IVF top-k / k).
     QueryDef(
       "s05_ann_recall_ivf",
       covers = "north-star ANN eval",
-      oracle = None,
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        exact AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(list_dot_product(q.v, c.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) *
+                          sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                   c.vec_id) AS rn
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ek AS (SELECT qid, cid FROM exact WHERE rn <= $K),
+        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                          - 1 AS cell, v AS cv
+                 FROM e),
+        c16 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cc
+                FROM cent WHERE cell < 16),
+        assign AS (SELECT e.vec_id, c16.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY c16.cc - 2 * list_dot_product(e.v, c16.cv),
+                                c16.cell) AS crn
+                   FROM e, c16),
+        cellof AS (SELECT vec_id, cell FROM assign WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, cell FROM assign
+                  WHERE vec_id < 10 AND crn <= 2),
+        scored AS (SELECT p.qid, co.vec_id,
+                     round(list_dot_product(qv.v, cv.v) /
+                           (sqrt(list_dot_product(qv.v, qv.v)) *
+                            sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+                   FROM probe p
+                   JOIN cellof co ON co.cell = p.cell
+                   JOIN e qv ON qv.vec_id = p.qid
+                   JOIN e cv ON cv.vec_id = co.vec_id
+                   WHERE co.vec_id <> p.qid),
+        ranked AS (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+                   FROM scored),
+        ik AS (SELECT qid, vec_id FROM ranked WHERE rn <= $K),
+        hits AS (SELECT ek.qid, count(*) AS n_hits
+                 FROM ek JOIN ik ON ik.qid = ek.qid AND ik.vec_id = ek.cid
+                 GROUP BY ek.qid),
+        kk AS (SELECT qid, count(*) AS k FROM ek GROUP BY qid)
+        SELECT kk.qid AS qid, 'ivf' AS method,
+               round(coalesce(hits.n_hits, 0) * 1.0 / kk.k, 4) AS recall
+        FROM kk LEFT JOIN hits ON hits.qid = kk.qid
+        ORDER BY kk.qid, method"""),
       build = (s, d) =>
         recallOf(s, d, "s04_ann_ivf_topk", "ivf").orderBy("qid", "method"))
   )
+
+  /** IVF coarse centroids: the k corpus vectors with the smallest
+    * md5(vec_id), as (cell, vector, |c|²) — deterministic under any
+    * partition layout and reproducible in SQL (see s04). Cached per sf dir
+    * (one tiny collect). */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double], Double)]]()
+
+  private def coarseCentroids(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      k: Int): Seq[(Int, Seq[Double], Double)] =
+    centCache.computeIfAbsent(s"$d#$k", _ =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+        .toSeq
+        .zipWithIndex
+        .map { case (r, i) =>
+          val c = r.getSeq[Float](0).map(_.toDouble)
+          // left-to-right double fold — bit-identical to list_dot_product
+          var cc = 0.0
+          c.foreach(x => cc += x * x)
+          (i, c, cc)
+        })
+
+  /** Lloyd refinement of a centroid set: `iters` passes of
+    * assign-to-nearest + per-cell mean, each a single `treeAggregate` over
+    * the corpus (no shuffle of the vectors themselves — partial per-cell
+    * sums combine associatively). Centroid coordinates quantize to 1e-9
+    * after each pass so results don't drift with partition merge order.
+    * The spec'd quality knob on top of the sampled quantizer in s04. */
+  def lloydRefine(
+      e: org.apache.spark.sql.DataFrame,
+      init: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    val sc = e.sparkSession.sparkContext
+    val data = e.select(col("embedding"))
+      .toDoubleRdd()
+    var cents = init.map(_.toArray).toArray
+    val dims = cents.head.length
+    val k = cents.length
+    (1 to iters).foreach { _ =>
+      val bc = sc.broadcast(cents)
+      val (sums, counts) = data.treeAggregate(
+        (Array.fill(k)(new Array[Double](dims)), new Array[Long](k)))(
+        seqOp = { case ((sm, ct), v) =>
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            var dist = 0.0; var j = 0
+            while (j < dims) { val t = v(j) - cs(i)(j); dist += t * t; j += 1 }
+            if (dist < bestD) { bestD = dist; best = i }
+            i += 1
+          }
+          var j = 0
+          while (j < dims) { sm(best)(j) += v(j); j += 1 }
+          ct(best) += 1
+          (sm, ct)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < k) {
+            var j = 0
+            while (j < dims) { s1(i)(j) += s2(i)(j); j += 1 }
+            c1(i) += c2(i); i += 1
+          }
+          (s1, c1)
+        })
+      cents = Array.tabulate(k) { i =>
+        if (counts(i) == 0) cents(i)
+        else Array.tabulate(dims)(j =>
+          math.rint(sums(i)(j) / counts(i) * 1e9) / 1e9)
+      }
+      bc.destroy()
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Embedding rows as a double-array RDD (helper for [[lloydRefine]]). */
+  implicit private class EmbeddingRddOps(df: org.apache.spark.sql.DataFrame) {
+    def toDoubleRdd(): org.apache.spark.rdd.RDD[Array[Double]] =
+      df.rdd.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
 
   /** Recall of one approximate ANN query against the exact top-k. Every
     * input arrives pre-materialized through the result memo, so the
