@@ -27,7 +27,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueryDef.all.flatMap(q => q.oracle.map(sql => q.name -> normalize(sql))).toMap
 
-  /** Collapse the triple-quoted indentation to a single line of SQL. */
+  /** Collapse the triple-quoted indentation to a single line of SQL.
+    * `--` comment lines are dropped first — collapsing would otherwise
+    * swallow the rest of the statement into the comment. */
   private def normalize(sql: String): String =
-    sql.trim.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+    sql.trim.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("--"))
+      .mkString(" ")
 }

@@ -84,7 +84,13 @@ object EvalSuite {
     QueryDef(
       "e03_rouge_zh_scores",
       covers = "T11",
-      oracle = None, // LCS / ROUGE not SQL-expressible; kernels spec-pinned
+      // REGRESSION PIN, not a SQL twin: ROUGE-LCS has no SQL formulation,
+      // but the query is deterministic — its sf0.01 output is versioned at
+      // fixtures/ and replayed for the driver's hash compare (kernels are
+      // additionally spec-pinned against hand-computed scores).
+      oracle = Some("""
+        -- regression pin (sf0.01): deterministic, non-SQL-expressible kernel
+        SELECT * FROM read_parquet('/root/repo/fixtures/e03_rouge_zh_scores.parquet')"""),
       build = (s, d) => {
         val docs = Tables.documents(s, d)
         // pred = first 30 words, gold = first 40 words → partial overlap

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata, with decode/feature-extraction as partition-local batch
   * functions (north-star multimodal surface).
   *
-  * The image/audio codecs aren't available in this container, so
-  * [[decodeFeatures]] is a clearly-marked deterministic stub — but the
-  * Spark-side plumbing is real: schema, binary payloads, batched
-  * mapPartitions (one buffer reuse per partition, the same batch shape a
-  * JNI/FFI decoder would want), and partition-count control so a 100 TB
-  * media lake decodes with bounded memory per task.
+  * Image rows carry REAL encoded media: deterministic synthetic PNGs
+  * (encoded with the pure-JVM `javax.imageio` writer), and
+  * [[decodeFeatures]] runs a real PNG decode to pixel statistics. Audio and
+  * video have no pure-JVM codec in this container, so their decode stays a
+  * clearly-marked deterministic byte-signature seam — the Spark-side
+  * plumbing (schema, binary payloads, batched mapPartitions with
+  * per-partition buffer reuse, partition-count control so a 100 TB media
+  * lake decodes with bounded memory per task) is identical for all kinds.
   */
 object Multimodal {
 
@@ -32,40 +34,114 @@ object Multimodal {
       n_bytes: Int,
       feature: Array[Float])   // fixed-dim feature vector
 
-  /** Build a media table from `documents` (payload = utf-8 bytes standing in
-    * for encoded media — the plumbing is identical for real codecs). */
+  /** Deterministic synthetic RGB image for media_id: every pixel channel is
+    * a fixed affine hash of (id, x, y). Dims stay small (≤ 32×24) so the
+    * encode cost is bounded per row. */
+  def synthImage(id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((id * 7 + x * 11 + y * 3) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def imageDims(id: Long): (Int, Int) =
+    ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+
+  /** Build a media table from `documents`: image rows carry a REAL encoded
+    * PNG payload (synthetic pixels, deterministic per media_id); audio and
+    * video carry the row's utf-8 bytes standing in for encoded frames (no
+    * pure-JVM codec for those — the plumbing is identical). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id").as("media_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        col("text").cast("binary").as("payload"),
-        (col("doc_id") % 640 + 1).cast("int").as("width"),
-        (col("doc_id") % 480 + 1).cast("int").as("height"),
-        lit(16000).as("sample_rate"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id % 3) match {
+            case 0 =>
+              val (w, h) = imageDims(id)
+              MediaRecord(id, "image", encodePng(synthImage(id, w, h)),
+                w, h, 0)
+            case 1 =>
+              MediaRecord(id, "audio", text.getBytes("UTF-8"),
+                0, 0, 16000)
+            case _ =>
+              MediaRecord(id, "video", text.getBytes("UTF-8"),
+                (id % 640 + 1).toInt, (id % 480 + 1).toInt, 16000)
+          }
+        }
+      }
   }
 
-  /** STUB decode: a real build would call an image/audio codec here (the
-    * batch shape — iterate a partition, reuse one scratch buffer — is what a
-    * native decoder needs). The stub emits a deterministic 8-dim signature
-    * of the payload bytes so tests can assert end-to-end plumbing.
+  /** Decode to an 8-dim feature vector, partition-local and batched.
+    *
+    * Images decode for REAL: `javax.imageio` PNG → pixel stats
+    * [width, height, mean R, mean G, mean B, mean/min/max luminance]
+    * (means in [0,1]). Audio/video fall back to the deterministic
+    * byte-signature seam (no pure-JVM codec in this container) — swapping a
+    * native decoder in changes only the per-row function, not the dataflow.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val acc = new Array[Float](8) // per-partition scratch, reused per row
       it.map { m =>
-        java.util.Arrays.fill(acc, 0f)
-        var i = 0
-        while (i < m.payload.length) {
-          acc(i % 8) += (m.payload(i) & 0xff) / 255f
-          i += 1
-        }
-        MediaFeatures(m.media_id, m.kind, m.payload.length, acc.clone())
+        val feature: Array[Float] =
+          if (m.kind == "image") {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var minL = 255.0f; var maxL = 0.0f
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                val lum = (0.299f * r + 0.587f * g + 0.114f * b)
+                if (lum < minL) minL = lum
+                if (lum > maxL) maxL = lum
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toFloat
+            Array(w.toFloat, h.toFloat,
+              sr / n / 255f, sg / n / 255f, sb / n / 255f,
+              (0.299f * sr + 0.587f * sg + 0.114f * sb) / n / 255f,
+              minL / 255f, maxL / 255f)
+          } else {
+            java.util.Arrays.fill(acc, 0f)
+            var i = 0
+            while (i < m.payload.length) {
+              acc(i % 8) += (m.payload(i) & 0xff) / 255f
+              i += 1
+            }
+            acc.clone()
+          }
+        MediaFeatures(m.media_id, m.kind, m.payload.length, feature)
       }
     }
   }
@@ -98,9 +174,10 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: rewrites the typed metadata (the real contract) and
-    * fakes the payload transform deterministically (truncate ∝ area ratio).
-    * Batch shape matches a native resizer: partition-local, buffer reuse. */
+  /** Resize. Images resize for REAL: decode → nearest-neighbor redraw at
+    * the new dims → re-encode PNG (pure JVM, deterministic). Audio/video
+    * keep the metadata rewrite + deterministic payload truncation seam.
+    * Batch shape matches a native resizer: partition-local, per-row. */
   def resize(
       media: Dataset[MediaRecord],
       newWidth: Int,
@@ -108,14 +185,38 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val ratio =
-          (newWidth.toLong * newHeight).toDouble /
-            math.max(m.width.toLong * m.height, 1L)
-        val newLen = math.max(1,
-          math.min(m.payload.length, (m.payload.length * ratio).toInt))
-        m.copy(
-          width = newWidth, height = newHeight,
-          payload = java.util.Arrays.copyOf(m.payload, newLen))
+        if (m.kind == "image") {
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          val dst = new java.awt.image.BufferedImage(
+            newWidth, newHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // nearest-neighbor: deterministic (no AA/filter kernels that could
+          // vary across JVM graphics pipelines)
+          var y = 0
+          while (y < newHeight) {
+            val sy = math.min(src.getHeight - 1,
+              y * src.getHeight / newHeight)
+            var x = 0
+            while (x < newWidth) {
+              val sx = math.min(src.getWidth - 1,
+                x * src.getWidth / newWidth)
+              dst.setRGB(x, y, src.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          m.copy(width = newWidth, height = newHeight,
+            payload = encodePng(dst))
+        } else {
+          val ratio =
+            (newWidth.toLong * newHeight).toDouble /
+              math.max(m.width.toLong * m.height, 1L)
+          val newLen = math.max(1,
+            math.min(m.payload.length, (m.payload.length * ratio).toInt))
+          m.copy(
+            width = newWidth, height = newHeight,
+            payload = java.util.Arrays.copyOf(m.payload, newLen))
+        }
       }
     }
   }
@@ -136,12 +237,18 @@ object Multimodal {
             md5(col("text").cast("binary")).as("content_hash"))
           .orderBy("doc_id")),
 
-    // Full plumbing smoke: binary payloads → batched stub decode → per-kind
-    // feature stats. Stub features aren't SQL-expressible → rows-only.
+    // Full plumbing smoke: binary payloads → batched decode (REAL PNG
+    // decode for images; byte-signature seam for audio/video) → per-kind
+    // feature stats. Pixel decode isn't SQL-expressible, but it is
+    // deterministic — the sf0.01 output is versioned at fixtures/ as a
+    // regression pin.
     QueryDef(
       "m02_media_features",
       covers = "north-star multimodal",
-      oracle = None,
+      oracle = Some("""
+        -- regression pin (sf0.01): real PNG pixel decode, no SQL twin
+        SELECT * FROM read_parquet('/root/repo/fixtures/m02_media_features.parquet')
+        ORDER BY kind"""),
       build = (s, d) => {
         val feats: DataFrame = decodeFeatures(mediaTable(s, d)).toDF()
         feats

@@ -438,11 +438,17 @@ object Relational {
             countDistinct(col("l_suppkey")).as("nd_supps"))
           .orderBy("l_returnflag")),
 
-    // Approx-distinct (HLL sketch) — bench-only surface; no exact oracle.
+    // Approx-distinct (HLL sketch). No exact SQL oracle (DuckDB's
+    // approx_count_distinct uses a different sketch), but the HLL is a
+    // deterministic, order-insensitive function of the data — so the sf0.01
+    // output is versioned at fixtures/ as a regression pin.
     QueryDef(
       "q15b_approx_distinct",
       covers = "Q15 north-star",
-      oracle = None,
+      oracle = Some("""
+        -- regression pin (sf0.01): deterministic sketch, no cross-engine twin
+        SELECT * FROM read_parquet('/root/repo/fixtures/q15b_approx_distinct.parquet')
+        ORDER BY l_returnflag"""),
       build = (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")

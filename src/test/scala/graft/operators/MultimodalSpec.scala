@@ -4,11 +4,41 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: opaque binary payloads + typed metadata through
-  * batched partition-local transforms. Codecs are stubs; schemas, explode
-  * shapes, and determinism are the real contract under test. */
+  * batched partition-local transforms. Image rows carry real PNGs (encode,
+  * decode, and resize run through javax.imageio); audio/video decode stays
+  * a deterministic seam. Schemas, explode shapes, and determinism are the
+  * contract under test. */
 class MultimodalSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("image payloads are real PNGs whose decoded dims match the metadata") {
+    val images = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { m =>
+      // PNG magic bytes
+      assert((m.payload(0) & 0xff) == 0x89 && m.payload(1) == 'P'.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth == m.width && img.getHeight == m.height)
+    }
+  }
+
+  test("image features are real pixel statistics") {
+    val media = Multimodal.mediaTable(spark, dir).filter(_.kind == "image")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    val byId = media.collect().map(m => m.media_id -> m).toMap
+    feats.foreach { f =>
+      val m = byId(f.media_id)
+      assert(f.feature(0) == m.width.toFloat &&
+        f.feature(1) == m.height.toFloat)
+      // channel means and luminances land in [0,1], min ≤ mean ≤ max
+      (2 until 8).foreach(i =>
+        assert(f.feature(i) >= 0f && f.feature(i) <= 1f))
+      assert(f.feature(6) <= f.feature(5) && f.feature(5) <= f.feature(7))
+    }
+  }
 
   test("media table carries binary payloads with typed metadata") {
     val media = Multimodal.mediaTable(spark, dir)
@@ -18,7 +48,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.select("kind").distinct().count() == 3)
   }
 
-  test("decodeFeatures emits fixed-dim features per record (stub decode)") {
+  test("decodeFeatures emits fixed-dim features per record, deterministically") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.decodeFeatures(media)
     val rows = feats.collect()
@@ -43,14 +73,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.select("media_id").distinct().count() <= nVideos)
   }
 
-  test("resize rewrites metadata and shrinks payloads proportionally") {
+  test("resize rewrites metadata; images re-encode at the new dims") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, 64, 48)
-    val joined = media.toDF().select(col("media_id"),
+    assert(resized.toDF()
+      .filter(col("width") =!= 64 || col("height") =!= 48).count() == 0)
+    // images: the payload is a real PNG at the NEW dimensions
+    resized.filter(_.kind == "image").take(5).foreach { m =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth == 64 && img.getHeight == 48)
+    }
+    // non-image: truncation seam never grows the payload
+    val joined = media.toDF().select(col("media_id"), col("kind"),
         length(col("payload")).as("len0"))
-      .join(resized.toDF().select(col("media_id"), col("width"),
-        col("height"), length(col("payload")).as("len1")), "media_id")
-    assert(joined.filter(col("width") =!= 64 || col("height") =!= 48).count() == 0)
-    assert(joined.filter(col("len1") > col("len0")).count() == 0)
+      .join(resized.toDF().select(col("media_id"),
+        length(col("payload")).as("len1")), "media_id")
+    assert(joined.filter(col("kind") =!= "image")
+      .filter(col("len1") > col("len0")).count() == 0)
   }
 }
