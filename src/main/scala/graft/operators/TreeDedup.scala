@@ -80,18 +80,32 @@ object TreeDedup {
     // ~0.7 s/round of pure materialization overhead). Lineage still gets
     // truncated every `checkpointEvery` rounds so a 100 TB run with ~20+
     // rounds keeps bounded plan depth and stage-retry cost.
+    //
+    // Merge rounds run FUSED two levels per shuffle (fusedMergePair): the
+    // remaining d07 cost is sequential stage count, not data volume
+    // (VERDICT r03 #7), and the level-2 prompt depends only on level-1
+    // replies of co-keyed groups, so both inference levels execute inside
+    // one task with byte-identical prompts to the unfused schedule.
     var cur = dedupGroups(assignGroups(claims, claimCol, k0))
+    val merges = schedule.drop(1).take(maxRounds).map(_._2)
+    var i = 0
     var sinceCkpt = 0
-    schedule.drop(1).take(maxRounds).foreach { case (_, next) =>
-      // the round's group count rides in a closure, NOT a literal: an
-      // inlined constant makes every round's fused codegen stage a distinct
-      // source, so Janino recompiles the whole spine log2(k0) times (the
-      // dominant cold-run cost, measured ~0.4 s/round). A reference object
-      // keeps the generated source identical across rounds — one compile,
-      // shared by every round.
-      val nextGroups = udf(() => next)
-      cur = dedupGroups(
-        cur.withColumn("group_id", pmod(col("group_id"), nextGroups())))
+    while (i < merges.length) {
+      if (i + 1 < merges.length) {
+        cur = fusedMergePair(cur, claimCol, client, merges(i), merges(i + 1))
+        i += 2
+      } else {
+        // odd tail: one classic round. The round's group count rides in a
+        // closure, NOT a literal: an inlined constant makes every round's
+        // fused codegen stage a distinct source, so Janino recompiles the
+        // whole spine per round (measured ~0.4 s/round cold). A reference
+        // object keeps the generated source identical across rounds.
+        val next = merges(i)
+        val nextGroups = udf(() => next)
+        cur = dedupGroups(
+          cur.withColumn("group_id", pmod(col("group_id"), nextGroups())))
+        i += 1
+      }
       sinceCkpt += 1
       if (sinceCkpt >= checkpointEvery) {
         cur = cur.localCheckpoint()
@@ -99,5 +113,50 @@ object TreeDedup {
       }
     }
     cur.select(claimCol).distinct()
+  }
+
+  /** Two merge levels (k → k2 → k4 groups) in ONE shuffle: claims key by
+    * their level-2 group, and each task replays the exact pairwise
+    * schedule locally — per level-1 group one DEDUP call over the
+    * sorted claim union, then one DEDUP call over the sorted union of the
+    * level-1 replies. Prompts are identical to running the two rounds
+    * separately (each unfused round is also one call per merged group over
+    * the sorted union), so results are unchanged; the shuffle/stage count
+    * halves, which is what dominates a log2(k0)-round dataflow. */
+  private def fusedMergePair(
+      df: DataFrame,
+      claimCol: String,
+      client: InferenceClient,
+      k2: Long,
+      k4: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // closure-borne constants (see run(): keeps codegen source identical
+    // across rounds so Janino compiles the spine once)
+    val k2f = udf(() => k2)
+    val k4f = udf(() => k4)
+    val grouped = df
+      .withColumn("g1", pmod(col("group_id"), k2f()))
+      .withColumn("g2", pmod(col("g1"), k4f()))
+      .groupBy("g2")
+      .agg(collect_list(struct(col("g1"), col(claimCol))).as("items"))
+    val outSchema = StructType(Seq(
+      StructField("group_id", LongType),
+      StructField(claimCol, StringType)))
+    grouped.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val g2 = row.getLong(0)
+        val items = row.getSeq[Row](1)
+        val lvl1 = items.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .flatMap { case (_, rs) =>
+            client.complete(
+              "DEDUP|" + rs.map(_.getString(1)).sorted.mkString("\n"))
+              .split("\n").toSeq.filter(_.nonEmpty)
+          }
+        client.complete("DEDUP|" + lvl1.sorted.mkString("\n"))
+          .split("\n").iterator.filter(_.nonEmpty)
+          .map(c => Row(g2, c))
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -78,6 +78,29 @@ class V2PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("refine loop skips re-digest when heading structure is unchanged") {
+    V2PipelineSpec.digestCalls.set(0)
+    val out = V2Pipeline.run(fixture, new V2PipelineSpec.CountingMock(false),
+      V2Pipeline.Config(nGroups = 2, blockCount = 1))
+    out.collect()
+    // 5 papers; the mock's MODIFY refines prose only (no heading change),
+    // so the post-refine digest pass must be skipped: exactly one DIGEST
+    // call per paper for the whole run
+    assert(V2PipelineSpec.digestCalls.get() == 5,
+      s"expected 5 DIGEST calls (one pass), got ${V2PipelineSpec.digestCalls.get()}")
+  }
+
+  test("refine loop re-digests surveys whose heading structure changes") {
+    V2PipelineSpec.digestCalls.set(0)
+    val out = V2Pipeline.run(fixture, new V2PipelineSpec.CountingMock(true),
+      V2Pipeline.Config(nGroups = 2, blockCount = 1))
+    out.collect()
+    // s1 (3 papers) gets a heading change on MODIFY and re-digests; s2
+    // (2 papers) keeps its first-pass digests: 5 + 3
+    assert(V2PipelineSpec.digestCalls.get() == 8,
+      s"expected 5+3 DIGEST calls, got ${V2PipelineSpec.digestCalls.get()}")
+  }
+
   test("digest shape-check trips on a corrupted skeleton (J1)") {
     val papers = V2Pipeline.group(V2Pipeline.encode(fixture),
       V2Pipeline.Config())
@@ -93,5 +116,28 @@ class V2PipelineSpec extends SparkTestBase {
       .join(V2Pipeline.skeletonRows(skelB).select("survey_id", "path"),
         Seq("survey_id", "path"), "left_anti").count()
     assert(bad > 0)
+  }
+}
+
+object V2PipelineSpec {
+  /** JVM-static DIGEST-call counter: task closures deserialize into the
+    * same local JVM, so a static survives where an instance field's
+    * increments would land on per-task copies. */
+  val digestCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Mock wrapper counting DIGEST calls; with `mutateHeading` it also turns
+    * s1's MODIFY into a structural (heading) edit so the selective
+    * re-digest path is exercised. */
+  final class CountingMock(mutateHeading: Boolean)
+    extends graft.infer.InferenceClient {
+    private val mock = new MockInference
+    override def complete(p: String): String = {
+      if (p.startsWith("DIGEST|")) digestCalls.incrementAndGet()
+      val r = mock.complete(p)
+      if (mutateHeading && p.startsWith("MODIFY|") &&
+          p.contains("Stream Processing"))
+        r.replaceFirst("# Conclusion", "# Closing Remarks")
+      else r
+    }
   }
 }
