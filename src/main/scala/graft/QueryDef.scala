@@ -21,6 +21,7 @@ object QueryDef {
   /** All query modules, in presentation order. */
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Skew.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

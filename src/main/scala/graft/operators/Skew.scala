@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,4 +31,37 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(spread, Seq(key, "graft_salt")).drop("graft_salt")
   }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Deliberately skewed join, bench-measured (VERDICT r03 #9): 90% of
+    // event rows collapse onto ONE hot user, then join a per-user dimension
+    // through saltedJoin — the hot key scatters across 8 salt buckets
+    // instead of one reducer. The salt is invisible in the RESULT (it's
+    // dropped before the aggregate), so the oracle is the plain join; the
+    // scatter is pinned by SkewSpec's plan assertion.
+    QueryDef(
+      "q37_salted_skew_join",
+      covers = "engine-complete (skew survival)",
+      oracle = Some("""
+        WITH ev AS (SELECT CASE WHEN event_id % 10 < 9 THEN 0
+                                ELSE user_id END AS user_id, value
+                    FROM events),
+        dim AS (SELECT DISTINCT user_id, user_id % 5 AS seg FROM ev)
+        SELECT seg, count(*) AS n, round(sum(value), 4) AS total
+        FROM ev JOIN dim USING (user_id)
+        GROUP BY seg ORDER BY seg"""),
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(
+            when(col("event_id") % 10 < 9, lit(0L))
+              .otherwise(col("user_id")).as("user_id"),
+            col("value"))
+        val dim = ev.select("user_id").distinct()
+          .withColumn("seg", pmod(col("user_id"), lit(5L)))
+        saltedJoin(ev, dim, "user_id", salt = 8)
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .orderBy("seg")
+      })
+  )
 }

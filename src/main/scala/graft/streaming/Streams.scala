@@ -169,6 +169,60 @@ object Streams {
       .toDF("user_id", "n_events", "n_rapid")
   }
 
+  /** Update-mode session windows: emit PARTIAL session results every
+    * trigger, updated as later events extend or merge sessions.
+    *
+    * Spark's native `session_window` aggregate cannot run in update mode
+    * (merging sessions aren't expressible as key-wise updates), so this is
+    * the canonical custom-state sessionization: state per user = the open
+    * session set; each batch folds its events in (extend / merge / open),
+    * and every session whose membership changed this trigger re-emits with
+    * its current (start, n) — the "partial results per trigger" surface the
+    * built-in operator lacks. At scale state is ∝ open sessions per user
+    * and partitions with the groupBy shuffle.
+    *
+    * Output rows match [[sessionCounts]]: (user_id, session_start, n). */
+  def sessionUpdates(
+      events: DataFrame, // ts TIMESTAMP, user_id LONG
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60_000L
+    val fmt = (ms: Long) =>
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          // state: open sessions as (startMs, endMs = last event + gap, n)
+          var sessions = state.getOption.getOrElse(Seq.empty)
+          val before = sessions.toSet
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t) =>
+            val s = t.getTime
+            val e = s + gapMs
+            // absorb every session this event's [s, e) window touches —
+            // one event can bridge (merge) two existing sessions
+            val (overlap, rest) =
+              sessions.partition(x => x._1 <= e && s <= x._2)
+            sessions = rest :+ ((
+              (overlap.map(_._1) :+ s).min,
+              (overlap.map(_._2) :+ e).max,
+              overlap.map(_._3).sum + 1))
+          }
+          state.update(sessions)
+          // update-mode contract: re-emit only what changed this trigger
+          sessions.filterNot(before).iterator
+            .map(x => (user, fmt(x._1), x._3))
+      }
+      .toDF("user_id", "session_start", "n")
+  }
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */

@@ -23,4 +23,16 @@ class SkewSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("q37 joins on (key, salt): the hot key scatters across salt buckets") {
+    val q = graft.QueryDef.all.find(_.name == "q37_salted_skew_join").get
+    val df = ResultMemo.bypass(q.build(spark, "/root/testdata/sf0.001"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the join condition must include the salt column — that IS the
+    // scatter: one hot user key becomes 8 distinct shuffle keys
+    assert(plan.contains("graft_salt"),
+      s"expected graft_salt in the join keys:\n$plan")
+    // and the salt never leaks into the result schema
+    assert(!df.columns.contains("graft_salt"))
+  }
 }

@@ -144,6 +144,60 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("update mode: session windows emit partials that later extend") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Streams.sessionUpdates(
+      input.toDF.toDF("user_id", "ts"), gapMinutes = 30)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sess_upd").start()
+    try {
+      // batch 1: user 7 at minutes 0 and 10 -> ONE partial session, n=2
+      input.addData((7L, ts(0)), (7L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: minute 20 extends the same session -> updated row, n=3
+      input.addData((7L, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_upd")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.count(_._1 == 7L) == 2, s"one row per trigger: ${rows.toSeq}")
+      assert(rows.contains((7L, "2019-12-20 00:00:00", 2L)),
+        s"trigger-1 partial missing: ${rows.toSeq}")
+      assert(rows.contains((7L, "2019-12-20 00:00:00", 3L)),
+        s"trigger-2 update missing: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("update mode: a bridging event merges two open sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Streams.sessionUpdates(
+      input.toDF.toDF("user_id", "ts"), gapMinutes = 30)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("sess_merge").start()
+    try {
+      // batch 1: two sessions 50 min apart (gap 30) -> two partials, n=1
+      input.addData((8L, ts(0)), (8L, ts(50)))
+      q.processAllAvailable()
+      // batch 2: minute 25 touches BOTH ([25,55) reaches back to [0,30)
+      // and forward to [50,...)) -> one merged session from minute 0, n=3
+      input.addData((8L, ts(25)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_merge")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((8L, "2019-12-20 00:00:00", 1L)) &&
+        rows.contains((8L, "2019-12-20 00:50:00", 1L)),
+        s"trigger-1 partials missing: ${rows.toSeq}")
+      assert(rows.contains((8L, "2019-12-20 00:00:00", 3L)),
+        s"merged session missing: ${rows.toSeq}")
+      assert(rows.length == 3, s"no spurious re-emissions: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("append mode: a window emits only after the watermark passes its end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
