@@ -31,6 +31,42 @@ object Dedup {
         .filter(col("sig").isNotNull)
     }
 
+  /** Connected components of an undirected pair graph by min-label
+    * propagation: every node starts as its own label; each round joins the
+    * current labels across the edge list and keeps the per-node min (one
+    * edge-keyed shuffle per round), stopping at fixpoint. Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow. Returns
+    * (id, label) for every node that appears in `pairs`; label = min id of
+    * the component. At petabyte scale the same loop holds (edges shuffle by
+    * key, labels are 2 longs/node); graphs with DEEP components would want
+    * the large-star/small-star variant, which this loop's seam admits. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .unionByName(pairs.toDF("dst", "src").select("src", "dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint()
+      done = stepped.filter(col("changed")).isEmpty
+      labels = stepped.select("id", "label")
+      iters += 1
+    }
+    labels
+  }
+
   /** 4×2 banding of a signature frame: (id, b, bkey) with md5 band keys —
     * the only columns that ever shuffle in the MinHash family. */
   private def bandsOf(sig: DataFrame, idCol: String): DataFrame = {
@@ -255,6 +291,59 @@ object Dedup {
               size(array_union(col("sh_c"), col("sh_t"))), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("corpus_id", "test_id")
+      }),
+
+    // ---------------------------------------------- dedup cluster components
+    // Connected components over the LSH candidate-pair graph — the step
+    // between "candidate pairs" and "drop these rows": near-dup relations
+    // are not transitive, so production dedup groups pairs into clusters and
+    // keeps one representative (min doc_id) per cluster. Min-label
+    // propagation: every node starts as its own label; each iteration takes
+    // the min over neighbors (one edge-keyed shuffle), converging in
+    // O(cluster diameter) rounds — near-dup clusters are shallow, so this
+    // is 2-4 rounds in practice; the driver only runs a convergence count
+    // per round. Docs outside any pair are their own singleton component.
+    QueryDef(
+      "d09_dedup_components",
+      covers = "X5 north-star",
+      oracle = Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                 FROM bands a JOIN bands c
+                   ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM cand),
+        reach AS (SELECT src, src AS dst FROM edges
+                  UNION
+                  SELECT r.src, e.dst FROM reach r
+                  JOIN edges e ON e.src = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS component
+                 FROM reach GROUP BY src)
+        SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      build = (s, d) => {
+        val pairs = defs.find(_.name == "d03_minhash_lsh").get.build(s, d)
+        val labels = connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        Tables.documents(s, d)
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("component"))
+          .orderBy("doc_id")
       }),
 
     // ------------------------------------------------------------ SimHash

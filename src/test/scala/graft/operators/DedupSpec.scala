@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Dedup clustering: min-label propagation must handle shapes deeper than
+  * the shallow clusters the sf oracles produce — chains (diameter > 2),
+  * bridged stars, and disjoint components. */
+class DedupSpec extends SparkTestBase {
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a chain propagates the min label across its full diameter") {
+    // 10-20-30-40-50-60: diameter 5, needs multiple propagation rounds
+    val got = components(Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (40L, 50L), (50L, 60L)))
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 10L, 60L -> 10L))
+  }
+
+  test("disjoint clusters keep distinct representatives") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("a bridge node merges two stars into one component") {
+    // star A {1,2,3} centered on 1; star B {8,9,10} centered on 8;
+    // bridge 3-8 joins them: everything labels to 1
+    val got = components(Seq((1L, 2L), (1L, 3L), (8L, 9L), (8L, 10L),
+      (3L, 8L)))
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L))
+  }
+}
