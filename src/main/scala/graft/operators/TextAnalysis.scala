@@ -144,6 +144,93 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // Gopher-style repetition stats: fraction of repeated words / 2-grams /
+    // 3-grams per document — the within-document quality rule (a doc whose
+    // n-grams are mostly repeats is boilerplate or degenerate generation).
+    // Per-row HOFs off the scan: zero shuffles, same shape as t01-t03.
+    QueryDef(
+      "t06_repetition_stats",
+      covers = "T18 F6 north-star",
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, ws,
+                list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+                list_transform(range(1, len(ws)-1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+              FROM w)
+        SELECT doc_id,
+          round(1 - len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6)
+            AS dup_word_frac,
+          round(1 - len(list_distinct(g2)) * 1.0 / greatest(len(g2), 1), 6)
+            AS dup_2gram_frac,
+          round(1 - len(list_distinct(g3)) * 1.0 / greatest(len(g3), 1), 6)
+            AS dup_3gram_frac
+        FROM g ORDER BY doc_id"""),
+      build = (s, d) => {
+        val ws = split(col("text"), " ")
+        // sequence(1, 0) would generate a DESCENDING ramp, not an empty
+        // array — short docs need the explicit guard
+        def grams(n: Int) = when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(k => element_at(ws, (i + k).cast("int"))): _*)))
+          .otherwise(array().cast("array<string>"))
+        def dupFrac(arr: org.apache.spark.sql.Column) =
+          round(lit(1) - size(array_distinct(arr)) * 1.0 /
+            greatest(size(arr), lit(1)), 6)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            dupFrac(ws).as("dup_word_frac"),
+            dupFrac(grams(2)).as("dup_2gram_frac"),
+            dupFrac(grams(3)).as("dup_3gram_frac"))
+          .orderBy("doc_id")
+      }),
+
+    // PII scrub: redact emails/phones and count redactions (the C4-style
+    // compliance pass). The corpus is synthetic and PII-free by
+    // construction, so a fifth of the docs get a planted, deterministic
+    // email+phone suffix IN BOTH ENGINES — the operator under test is the
+    // scrub, not the plant. Regexes stay in the Spark∩RE2 common subset.
+    QueryDef(
+      "t07_pii_scrub",
+      covers = "T18 F9 north-star",
+      oracle = Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || ' contact: user' || doc_id ||
+                           '@example.com or +01 555-01' ||
+                           lpad((doc_id % 100)::VARCHAR, 2, '0') || ' now'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text,
+            '\+[0-9]{2} [0-9]{3}-[0-9]{4}')) AS n_phones,
+          md5(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+[0-9]{2} [0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrub_hash
+        FROM src ORDER BY doc_id"""),
+      build = (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9]{2} [0-9]{3}-[0-9]{4}"
+        val planted = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com or +01 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" now")))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), planted.as("text"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("text"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]").cast("binary")).as("scrub_hash"))
+          .orderBy("doc_id")
+      }),
+
     // Document fingerprint: md5 of the canonical text form (T16/X5 exact
     // half) — the key exact-dedup runs on.
     QueryDef(
