@@ -307,6 +307,70 @@ object Similarity {
       build = (s, d) =>
         recallOf(s, d, "s02_ann_lsh_topk", "lsh").orderBy("qid", "method")),
 
+    // Quantized-vector ANN: symmetric int8-style scalar quantization
+    // (x → round(x·127/max|x|) per vector) and cosine over the QUANTIZED
+    // vectors — per-vector scales cancel in cosine, so no dequantization.
+    // This is the 4× memory compression a 100 TB embedding store runs
+    // (stored as BINARY int8 there; held in doubles here so the shared
+    // codegen dot kernel applies — the arithmetic is identical). Quantized
+    // dots are integer-valued sums, exact in doubles, so the whole path is
+    // hash-checked; the exact `cos` alongside `qcos` makes the quantization
+    // error directly visible per neighbor.
+    QueryDef(
+      "s06_quantized_topk",
+      covers = "north-star ANN compression",
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v,
+                list_transform(v, x -> round(x * 127 /
+                  greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)))
+                  AS qv
+              FROM e),
+        scored AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                     round(list_dot_product(a.qv, b.qv) /
+                           (sqrt(list_dot_product(a.qv, a.qv)) *
+                            sqrt(list_dot_product(b.qv, b.qv))), 6) AS qcos,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                   FROM q a JOIN q b ON b.vec_id <> a.vec_id
+                   WHERE a.vec_id < 10),
+        ranked AS (SELECT qid, vec_id, qcos, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY qcos DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, qcos, cos FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""),
+      build = (s, d) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
+        // quantize scan-side, once per vector (never per pair)
+        val e = Tables.embeddings(s, d)
+          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+          .withColumn("qv", expr(
+            """transform(v, x -> round(x * 127 /
+               greatest(array_max(transform(v, y -> abs(y))), 1e-12d)))"""))
+          .select(col("vec_id"), col("v"), col("qv"),
+            sqrt(dot(col("qv"), col("qv"))).as("qnrm"),
+            sqrt(dot(col("v"), col("v"))).as("nrm"))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+            col("v").as("q_v"), col("qnrm").as("q_qnrm"),
+            col("nrm").as("q_nrm"))
+        val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id"))
+        e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            round(dot(col("q_qv"), col("qv")) / (col("q_qnrm") * col("qnrm")), 6)
+              .as("qcos"),
+            round(dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")), 6)
+              .as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "qcos", "cos")
+          .orderBy("qid", "rn")
+      }),
+
     // IVF recall: same metric over the IVF path — the sampled coarse
     // quantizer is SQL-expressible (see s04), so this half is now
     // oracle-checked too (exact top-k ∩ IVF top-k / k).
