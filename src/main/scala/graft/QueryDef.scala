@@ -29,5 +29,6 @@ object QueryDef {
       operators.Multimodal.defs ++
       operators.CitationQuality.defs ++
       operators.EvalSuite.defs ++
-      operators.Pipelines.defs
+      operators.Pipelines.defs ++
+      streaming.StreamQueries.defs
 }

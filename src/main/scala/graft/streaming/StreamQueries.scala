@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the windowed queries as DRIVER-CHECKED entries: each
+  * build runs a real Structured Streaming query (file source → watermarked
+  * stateful aggregation → memory sink, AvailableNow) to completion and
+  * returns the final table, which the DuckDB oracle then hash-checks
+  * against the same SQL as the batch form. This puts the streaming engine
+  * itself — state store, watermarking, micro-batch planning — inside the
+  * correctness gate, not just inside specs.
+  *
+  * A finite AvailableNow run over the same input must equal the batch
+  * aggregation (bounded-input equivalence); the MemoryStream specs in
+  * StreamsSpec pin the trigger-by-trigger semantics the oracle can't see.
+  */
+object StreamQueries {
+
+  private def unique(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q26s_tumbling_stream",
+      covers = "Q26 D4 S3 streaming",
+      oracle = Some("""
+        SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type, count(*) AS n
+        FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.tumblingCounts(Streams.eventsStream(s, d)),
+          unique("q26s"))
+          .orderBy("wstart", "event_type")),
+
+    QueryDef(
+      "q28s_session_stream",
+      covers = "Q28 D11 streaming",
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM e)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.sessionCounts(Streams.eventsStream(s, d)),
+          unique("q28s"))
+          .orderBy("user_id", "session_start"))
+  )
+}
