@@ -22,6 +22,7 @@ object QueryDef {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Skew.defs ++
+      operators.AsOf.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
