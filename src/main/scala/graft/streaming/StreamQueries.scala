@@ -34,6 +34,22 @@ object StreamQueries {
           unique("q26s"))
           .orderBy("wstart", "event_type")),
 
+    // Streaming exact dedup over the documents feed: first-seen content
+    // hashes, cross-batch state. A finite run emits exactly the distinct
+    // hash set, so the batch DISTINCT is the oracle; the cross-batch
+    // "second arrival is NOT re-emitted" behavior is MemoryStream-pinned
+    // in StreamsSpec.
+    QueryDef(
+      "d10s_stream_dedup",
+      covers = "X1 X5 streaming",
+      oracle = Some("""
+        SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.dedupStream(Streams.documentsStream(s, d)),
+          unique("d10s"), mode = "append")
+          .orderBy("h")),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

@@ -78,6 +78,36 @@ object Streams {
           .as("session_start"),
         col("n"))
 
+  /** Pinned documents schema for streaming reads of the sf dirs. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the documents table out of an sf directory. */
+  def documentsStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(sfDir)
+
+  /** Streaming exact dedup: emit each content hash the FIRST time it is
+    * seen, across micro-batches — the ingestion-time dedup of a continuously
+    * fed corpus. State = one row per distinct key, partitioned with the
+    * shuffle; a production feed bounds it with
+    * `dropDuplicatesWithinWatermark` (same operator, watermark-evicted
+    * state) once keys stop recurring beyond the lateness horizon. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text").cast("binary")).as("h"))
+      .dropDuplicates("h")
+
   /** S3: JSONL append sink via foreachBatch (one line per row, append-only —
     * the decode tail's behavior). Returns the started query. */
   def jsonlSink(
@@ -106,14 +136,8 @@ object Streams {
       checkpoint: String,
       client: graft.infer.InferenceClient = new graft.infer.MockInference,
       glob: String = "documents*.parquet"): StreamingQuery = {
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val docs = spark.readStream
-      .schema(docsSchema)
+      .schema(documentsSchema)
       .option("pathGlobFilter", glob)
       .parquet(sfDir)
       .select(col("doc_id"), lit(question).as("question"), col("text"))

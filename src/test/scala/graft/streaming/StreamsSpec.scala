@@ -198,6 +198,26 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: a key re-arriving in a later batch is not re-emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Streams.dedupStream(input.toDF.toDF("text"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_s").start()
+    try {
+      input.addData("alpha", "beta", "alpha") // in-batch dup collapses too
+      q.processAllAvailable()
+      assert(spark.table("dedup_s").count() == 2)
+      input.addData("beta", "gamma") // beta is cross-batch state, not new
+      q.processAllAvailable()
+      val rows = spark.table("dedup_s").collect().map(_.getString(0))
+      assert(rows.length == 3, s"beta must not re-emit: ${rows.toSeq}")
+      assert(rows.distinct.length == 3)
+    } finally q.stop()
+  }
+
   test("append mode: a window emits only after the watermark passes its end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
