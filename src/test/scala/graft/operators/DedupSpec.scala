@@ -35,4 +35,29 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.toSet == Set(1L))
     assert(got.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L))
   }
+
+  test("random graphs agree with a reference union-find (50 seeds)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { trial =>
+      val n = 4 + rnd.nextInt(12)
+      val pairs = Seq.fill(2 + rnd.nextInt(10))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        val got = components(pairs)
+        assert(got == want, s"trial $trial, pairs=$pairs")
+      }
+    }
+  }
 }

@@ -21,6 +21,19 @@ class TreeDedupSpec extends SparkTestBase {
     assert(out.length == 40)
   }
 
+  test("fused and unfused merge schedules produce identical results") {
+    import spark.implicits._
+    // random-ish claims with planted dups; fuseLevels=1 replays the classic
+    // one-round-per-shuffle schedule, so 1 vs 3 pins fusion invariance
+    val rnd = new scala.util.Random(7)
+    val claims = Seq.fill(90)(s"fact ${rnd.nextInt(30)} holds").toDF("claim")
+    def run(fuse: Int) =
+      TreeDedup.run(claims, "claim", new MockInference,
+        groupSize = 8, fuseLevels = fuse)
+        .collect().map(_.getString(0)).sorted.toSeq
+    assert(run(1) == run(3))
+  }
+
   test("single small group needs no halving rounds") {
     import spark.implicits._
     val out = TreeDedup.run(
