@@ -165,12 +165,17 @@ object V2Pipeline {
     var pool = if (ckpt) suggestions0.localCheckpoint() else suggestions0
     var layer = 0
     while (layer < cfg.convLayers) {
-      // W6: seeded weighted sampling without replacement (A-Res keys)
+      // W6: seeded weighted sampling without replacement (A-Res keys).
+      // The uniform draw is a HASH of (suggestion, layer, seed), not
+      // rand(seed): Spark's rand seeds per PARTITION, so a different
+      // cluster shape would sample differently — the hash form (same
+      // pattern as q18) is reproducible under any partitioning.
       val wSample = Window.partitionBy("survey_id")
         .orderBy(col("ares").desc, col("suggestion"))
+      val u = (pmod(xxhash64(col("suggestion"), lit(cfg.seed + layer)),
+        lit(1000000L)).cast("double") + 1.0) / 1000001.0
       val sampled = pool
-        .withColumn("ares",
-          pow(rand(cfg.seed + layer), lit(1.0) / greatest(col("score"), lit(1))))
+        .withColumn("ares", pow(u, lit(1.0) / greatest(col("score"), lit(1))))
         .withColumn("rn", row_number().over(wSample))
         .filter(col("rn") <= cfg.kernelWidth)
       // A6: kernel merge of the sampled suggestions
