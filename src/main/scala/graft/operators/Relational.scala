@@ -535,7 +535,7 @@ object Relational {
     // top-k keys win. The uniform u comes from a Knuth multiplicative hash
     // of the row key — deterministic pure arithmetic both engines compute
     // identically, which upgrades this from rows-only to oracle-checked
-    // (the production refine loop uses seeded rand(); same algorithm).
+    // (the V2 refine loop samples with the same hashed-A-Res pattern).
     QueryDef(
       "q18_weighted_sample",
       covers = "W6",
