@@ -138,14 +138,82 @@ object V2Pipeline {
 
   // ------------------------------------------------------------- refine loop
   /** One hidden-stage block: suggestions → convolution layers (sample, merge,
-    * score, prune) → best suggestion modifies the skeleton (D5 loop body). */
+    * score, prune) → best suggestion modifies the skeleton (D5 loop body).
+    *
+    * The convolution layers run FUSED: one shuffle groups each survey's
+    * suggestion pool, and a single task replays every layer locally —
+    * A-Res sample, MERGE call, top-poolSize prune — with byte-identical
+    * prompts and ordering to the unfused per-layer dataflow
+    * ([[refineSkeletonUnfused]], kept for the invariance spec). The pool is
+    * config-bounded (poolSize = the reference's result_num,
+    * conv_kernel_module.py), so per-task state is O(poolSize · |suggestion|)
+    * regardless of corpus scale; what the fusion removes is 2 windows + one
+    * inference stage PER LAYER from the job graph — the dominant cost of a
+    * p02 block at any scale (stage count, not data volume). */
   def refineSkeleton(
       skeleton: DataFrame,
       digests: DataFrame,
       client: InferenceClient,
       cfg: Config): DataFrame = {
-    // feedback neuron: one scored suggestion per digest group
-    val suggestions0 = InferOps.complete(
+    val pooled = suggestionPool(skeleton, digests, client)
+      .groupBy("survey_id")
+      .agg(collect_list(struct(col("suggestion"), col("score"))).as("pool"))
+    val idField = pooled.schema("survey_id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField,
+      org.apache.spark.sql.types.StructField("best_suggestion",
+        org.apache.spark.sql.types.StringType)))
+    val best = pooled.mapPartitions { rows =>
+      rows.map { r =>
+        val pool0 = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getString(0), p.getInt(1)))
+        org.apache.spark.sql.Row(r.get(0), convolve(pool0, client, cfg))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    modifySkeleton(skeleton, best, client)
+  }
+
+  /** Replay one survey's convolution layers locally (the fused task body).
+    * Each step mirrors the unfused column expressions exactly:
+    * xxhash64/pmod via Spark's own [[XxHash64Function]] (seed 42, then the
+    * string hash seeds the long hash — the multi-arg fold), `pow` is
+    * `java.lang.Math.pow` in both engines, and string order is ASCII (all
+    * inference replies are ASCII), where Java and UTF8String comparisons
+    * agree. */
+  private[graft] def convolve(
+      pool0: Seq[(String, Int)],
+      client: InferenceClient,
+      cfg: Config): String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    var pool = pool0
+    var layer = 0
+    while (layer < cfg.convLayers) {
+      val sampled = pool.map { case (s, sc) =>
+        val h1 = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+        val h2 = XxHash64Function.hash(cfg.seed + layer, LongType, h1)
+        val u  = ((((h2 % 1000000L) + 1000000L) % 1000000L).toDouble + 1.0) / 1000001.0
+        (s, math.pow(u, 1.0 / math.max(sc, 1)))
+      }.sortBy { case (s, a) => (-a, s) }
+        .take(cfg.kernelWidth)
+      val reply = client.complete(
+        "MERGE|" + sampled.map(_._1).sorted.mkString("\n"))
+      pool = (pool :+ (reply -> scoreOfStr(reply)))
+        .sortBy { case (s, sc) => (-sc, s) }
+        .take(cfg.poolSize)
+      layer += 1
+    }
+    pool.maxBy { case (s, sc) => (sc, s) }._1
+  }
+
+  /** Feedback neuron: one scored suggestion per digest group (shared by the
+    * fused and unfused refine paths). */
+  private def suggestionPool(
+      skeleton: DataFrame,
+      digests: DataFrame,
+      client: InferenceClient): DataFrame =
+    InferOps.complete(
       digests.groupBy("survey_id", "group_id")
         .agg(array_join(array_sort(collect_list(col("description"))), "\n").as("dg"))
         .join(skeleton.select("survey_id", "skeleton_md"), "survey_id")
@@ -156,6 +224,29 @@ object V2Pipeline {
       .withColumn("suggestion", col("raw"))
       .withColumn("score", scoreOf(col("raw")))
       .drop("raw")
+
+  /** W2 argmax suggestion → MODIFY inference over the skeleton. */
+  private def modifySkeleton(
+      skeleton: DataFrame,
+      best: DataFrame,
+      client: InferenceClient): DataFrame =
+    InferOps.complete(
+      skeleton.join(best, "survey_id")
+        .withColumn("prompt", concat(
+          lit("MODIFY|"), col("skeleton_md"), lit("|"), col("best_suggestion"))),
+      "prompt", "new_md", client)
+      .select(col("survey_id"), col("title"), col("new_md").as("skeleton_md"))
+
+  /** Unfused reference form of the convolution loop — one sample window,
+    * MERGE pass and prune window per layer, each its own Spark stage. Kept
+    * only as the spec twin that pins [[refineSkeleton]]'s fused replay
+    * (V2PipelineSpec fusion invariance). */
+  private[graft] def refineSkeletonUnfused(
+      skeleton: DataFrame,
+      digests: DataFrame,
+      client: InferenceClient,
+      cfg: Config): DataFrame = {
+    val suggestions0 = suggestionPool(skeleton, digests, client)
 
     // `pool` is referenced twice per layer (sample source + union arm), so
     // an unchecked plan doubles per layer. Up to 2 layers that's a 4× plan
@@ -201,16 +292,18 @@ object V2Pipeline {
     val best = pool.groupBy("survey_id")
       .agg(max_by(col("suggestion"), struct(col("score"), col("suggestion")))
         .as("best_suggestion"))
-    InferOps.complete(
-      skeleton.join(best, "survey_id")
-        .withColumn("prompt", concat(
-          lit("MODIFY|"), col("skeleton_md"), lit("|"), col("best_suggestion"))),
-      "prompt", "new_md", client)
-      .select(col("survey_id"), col("title"), col("new_md").as("skeleton_md"))
+    modifySkeleton(skeleton, best, client)
   }
 
   private def scoreOf(c: Column): Column =
     coalesce(regexp_extract(c, "<SCORE>(\\d+)</SCORE>", 1).cast("int"), lit(0))
+
+  private val ScorePat = "<SCORE>(\\d+)</SCORE>".r
+
+  /** JVM twin of [[scoreOf]] for the fused task body (empty/absent → 0,
+    * matching regexp_extract's ''-to-null int cast + coalesce). */
+  private[graft] def scoreOfStr(s: String): Int =
+    ScorePat.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
 
   // ------------------------------------------------------------------ decode
   /** Write leaves, assemble bottom-up, polish, re-key citations, stats. */

@@ -101,6 +101,26 @@ class V2PipelineSpec extends SparkTestBase {
       s"expected 5+3 DIGEST calls, got ${V2PipelineSpec.digestCalls.get()}")
   }
 
+  test("fused refine loop matches the unfused per-layer dataflow") {
+    // the fused task-local replay (refineSkeleton) must be byte-identical
+    // to the unfused window/merge/prune stages, across layer depths
+    // including the unfused checkpoint path (convLayers > 2)
+    val client = new MockInference
+    val papers = V2Pipeline.group(V2Pipeline.encode(fixture),
+      V2Pipeline.Config(nGroups = 2))
+    val skeleton = V2Pipeline.skeletonInit(papers, client)
+    val digests  = V2Pipeline.digest(papers, skeleton, client)
+    for (layers <- Seq(1, 2, 3)) {
+      val cfg = V2Pipeline.Config(nGroups = 2, convLayers = layers,
+        kernelWidth = 2, poolSize = 3)
+      val fused = V2Pipeline.refineSkeleton(skeleton, digests, client, cfg)
+        .orderBy("survey_id").collect().toSeq
+      val unfused = V2Pipeline.refineSkeletonUnfused(skeleton, digests, client, cfg)
+        .orderBy("survey_id").collect().toSeq
+      assert(fused == unfused, s"fused/unfused diverged at convLayers=$layers")
+    }
+  }
+
   test("digest shape-check trips on a corrupted skeleton (J1)") {
     val papers = V2Pipeline.group(V2Pipeline.encode(fixture),
       V2Pipeline.Config())
