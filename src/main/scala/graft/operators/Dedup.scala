@@ -31,16 +31,77 @@ object Dedup {
         .filter(col("sig").isNotNull)
     }
 
-  /** Connected components of an undirected pair graph by min-label
-    * propagation: every node starts as its own label; each round joins the
-    * current labels across the edge list and keeps the per-node min (one
-    * edge-keyed shuffle per round), stopping at fixpoint. Converges in
-    * O(component diameter) rounds — near-dup clusters are shallow. Returns
-    * (id, label) for every node that appears in `pairs`; label = min id of
-    * the component. At petabyte scale the same loop holds (edges shuffle by
-    * key, labels are 2 longs/node); graphs with DEEP components would want
-    * the large-star/small-star variant, which this loop's seam admits. */
+  /** Connected components of an undirected pair graph by the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14 — the same strategy GraphFrames
+    * ships): each round rewires every node toward its neighborhood minimum
+    * in two bounded star steps, converging in O(log²) rounds on ANY shape —
+    * vs min-label propagation's O(diameter), the difference between ~3 and
+    * 50+ shuffle rounds on chain-shaped duplicate families at corpus scale.
+    * No neighbor lists are ever materialized: each step is a groupBy-min
+    * plus a co-partitioned join, so a high-degree hub costs one aggregation
+    * row, not a collect_list. Returns (id, label) for every node in
+    * `pairs`; label = min id of the component.
+    *
+    * [[connectedComponentsMinLabel]] keeps the simple propagation loop as
+    * the spec cross-check (both agree with a driver union-find in
+    * DedupSpec). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    // large-star: every node v strictly larger than u links to
+    // m = min(Γ(u) ∪ {u}); small-star: every smaller neighbor (and u
+    // itself) links to m. Alternating the two is monotone toward the
+    // star-per-component fixpoint.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .toDF("u", "v")
+      val mn = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mn, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mn = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mn, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mn.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (ANSI sum of hashes
+      // overflows a Long almost immediately)
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    var prev  = checksum(edges)
+    var iters = 0
+    var done  = edges.isEmpty
+    while (!done && iters < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      done = cur == prev
+      prev = cur
+      iters += 1
+    }
+    // fixpoint is a star per component: each member points to the min
+    edges.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .distinct()
+  }
+
+  /** Min-label propagation variant: one edge-keyed shuffle per round,
+    * O(component diameter) rounds. Fine for the shallow clusters LSH
+    * produces; kept as the independent cross-check of
+    * [[connectedComponents]] (DedupSpec runs both against union-find). */
+  private[graft] def connectedComponentsMinLabel(
+      pairs: DataFrame, maxIters: Int = 32): DataFrame = {
     val edges = pairs.toDF("src", "dst")
       .unionByName(pairs.toDF("dst", "src").select("src", "dst"))
       .localCheckpoint()

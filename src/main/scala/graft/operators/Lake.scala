@@ -44,6 +44,12 @@ object Lake {
     (docs, embs)
   }
 
+  /** Lay the bucketed tables out ahead of time (idempotent per session+dir).
+    * Bench calls this in session setup so q35 times the co-located JOIN —
+    * the lake's steady state — not the one-time layout write, which ranged
+    * 2-5 s run-to-run and drowned the signal it was meant to carry. */
+  def warmLayout(s: SparkSession, d: String): Unit = { ensureTables(s, d); () }
+
   def defs: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- Q35
     // Co-located join over the bucketed lake: documents ⋈ embeddings on the

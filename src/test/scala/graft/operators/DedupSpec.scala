@@ -13,6 +13,12 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private def componentsMinLabel(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponentsMinLabel(pairs.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("a chain propagates the min label across its full diameter") {
     // 10-20-30-40-50-60: diameter 5, needs multiple propagation rounds
     val got = components(Seq((10L, 20L), (20L, 30L), (30L, 40L),
@@ -56,7 +62,12 @@ class DedupSpec extends SparkTestBase {
         }
         val want = parent.keys.map(k => k -> find(k)).toMap
         val got = components(pairs)
-        assert(got == want, s"trial $trial, pairs=$pairs")
+        assert(got == want, s"trial $trial (star), pairs=$pairs")
+        // the O(diameter) propagation variant must agree too
+        if (trial <= 10) {
+          val gotML = componentsMinLabel(pairs)
+          assert(gotML == want, s"trial $trial (min-label), pairs=$pairs")
+        }
       }
     }
   }
