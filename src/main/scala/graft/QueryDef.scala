@@ -25,6 +25,7 @@ object QueryDef {
       operators.AsOf.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
+      operators.Mix.defs ++
       operators.Similarity.defs ++
       operators.Lake.defs ++
       operators.Multimodal.defs ++

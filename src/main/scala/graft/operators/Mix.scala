@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction over `documents`: per-source quota sampling and
+  * token-budget shard packing — the two operations that turn a cleaned
+  * corpus into an actual training mixture (mix weights per source, then
+  * fixed-budget shards for the loader). North-star additions beyond the
+  * reference's own surface (its pipelines stop at cleaned documents).
+  *
+  * Scale design: both are one window shuffle keyed by `source`; the shard
+  * manifest reuses that partitioning for its aggregation (no second
+  * exchange). Sampling keys are multiplicative hashes of doc_id —
+  * partition-layout-independent (same posture as q18/the refine loop: never
+  * rand(), which seeds per partition), and cross-engine reproducible, so
+  * both queries hash-match DuckDB.
+  */
+object Mix {
+
+  def defs: Seq[QueryDef] = Seq(
+    // --------------------------------------------------------------- X-mix 1
+    // Per-source quota sample (A-Res weighted by document length): keep the
+    // `quota` highest A-Res keys per source, where the uniform draw is a
+    // multiplicative hash of doc_id. This IS the mix-weighting step of a
+    // training-data pipeline: quotas per source, biased toward long docs,
+    // deterministic under any cluster shape.
+    QueryDef(
+      "x01_quota_sample",
+      covers = "W6 W5 mix north-star",
+      oracle = Some("""
+        SELECT source, rn, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                   pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                       1.0 / n_chars) DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY source, rn"""),
+      build = (s, d) => {
+        val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+          lit(4294967296.0)
+        val w = Window.partitionBy("source")
+          .orderBy(col("ares").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("ares", pow(u, lit(1.0) / col("n_chars")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("source", "rn", "doc_id", "n_chars")
+          .orderBy("source", "rn")
+      }),
+
+    // --------------------------------------------------------------- X-mix 2
+    // Token-budget shard manifest: greedy running-sum packing (the q04/W7
+    // pattern generalized from lineitem bins to corpus shards) of each
+    // source's documents into ~512-token shards, emitting the manifest a
+    // loader consumes: doc count, token total, and the doc_id span per
+    // shard. The window and the groupBy share the `source` hash
+    // partitioning — one exchange end-to-end.
+    QueryDef(
+      "x02_shard_manifest",
+      covers = "W7 A2 mix north-star",
+      oracle = Some("""
+        SELECT source, shard, count(*) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS total_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM (
+          SELECT source, doc_id, tokens,
+                 CAST(floor(CAST(sum(tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / 512.0) AS BIGINT) AS shard
+          FROM (SELECT source, doc_id,
+                       len(string_split(text, ' ')) AS tokens
+                FROM documents))
+        GROUP BY source, shard ORDER BY source, shard"""),
+      build = (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("tokens"))
+          .withColumn("shard",
+            floor(sum(col("tokens")).over(w).cast("double") / 512.0)
+              .cast("bigint"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).cast("bigint").as("total_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "shard")
+      })
+  )
+}
