@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * metadata, with decode/feature-extraction as partition-local batch
   * functions (north-star multimodal surface).
   *
-  * Image rows carry REAL encoded media: deterministic synthetic PNGs
-  * (encoded with the pure-JVM `javax.imageio` writer), and
-  * [[decodeFeatures]] runs a real PNG decode to pixel statistics. Audio and
-  * video have no pure-JVM codec in this container, so their decode stays a
-  * clearly-marked deterministic byte-signature seam — the Spark-side
-  * plumbing (schema, binary payloads, batched mapPartitions with
-  * per-partition buffer reuse, partition-count control so a 100 TB media
-  * lake decodes with bounded memory per task) is identical for all kinds.
+  * Image and audio rows carry REAL encoded media: deterministic synthetic
+  * PNGs (pure-JVM `javax.imageio`) and RIFF/PCM16 WAVs (decoded back
+  * through `javax.sound.sampled` — the JVM's real audio codec API), and
+  * [[decodeFeatures]] computes real pixel statistics / real waveform
+  * statistics (RMS, peak, zero-crossing rate). Video has no pure-JVM codec
+  * in this container, so its decode stays a clearly-marked deterministic
+  * byte-signature seam — the Spark-side plumbing (schema, binary payloads,
+  * batched mapPartitions with per-partition buffer reuse, partition-count
+  * control so a 100 TB media lake decodes with bounded memory per task) is
+  * identical for all kinds.
   */
 object Multimodal {
 
@@ -64,10 +66,43 @@ object Multimodal {
   private def imageDims(id: Long): (Int, Int) =
     ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
 
+  /** Deterministic synthetic waveform for media_id — a two-tone sine whose
+    * fundamental and length derive from the id — encoded as a REAL
+    * RIFF/PCM16 mono WAV (44-byte canonical header + little-endian
+    * samples). Lengths stay small (≤ 400 samples ≈ 25 ms at 16 kHz) so the
+    * encode cost is bounded per row. */
+  def encodeWav(id: Long, sampleRate: Int = 16000): Array[Byte] = {
+    val n    = (id % 320 + 80).toInt
+    val f0   = (id % 800 + 200).toDouble
+    val data = new Array[Byte](44 + 2 * n)
+    val bb   = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)              // PCM
+      .putShort(1)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)   // byte rate
+      .putShort(2)              // block align
+      .putShort(16)             // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / sampleRate
+      val v = 0.6 * math.sin(2 * math.Pi * f0 * t) +
+        0.3 * math.sin(2 * math.Pi * f0 * 2.5 * t)
+      bb.putShort((v * 32767.0).toShort)
+      i += 1
+    }
+    data
+  }
+
   /** Build a media table from `documents`: image rows carry a REAL encoded
-    * PNG payload (synthetic pixels, deterministic per media_id); audio and
-    * video carry the row's utf-8 bytes standing in for encoded frames (no
-    * pure-JVM codec for those — the plumbing is identical). */
+    * PNG payload, audio rows a REAL RIFF/PCM16 WAV (both synthetic,
+    * deterministic per media_id); video carries the row's utf-8 bytes
+    * standing in for encoded frames (no pure-JVM video codec — the
+    * plumbing is identical). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -81,7 +116,7 @@ object Multimodal {
               MediaRecord(id, "image", encodePng(synthImage(id, w, h)),
                 w, h, 0)
             case 1 =>
-              MediaRecord(id, "audio", text.getBytes("UTF-8"),
+              MediaRecord(id, "audio", encodeWav(id),
                 0, 0, 16000)
             case _ =>
               MediaRecord(id, "video", text.getBytes("UTF-8"),
@@ -95,9 +130,12 @@ object Multimodal {
     *
     * Images decode for REAL: `javax.imageio` PNG → pixel stats
     * [width, height, mean R, mean G, mean B, mean/min/max luminance]
-    * (means in [0,1]). Audio/video fall back to the deterministic
-    * byte-signature seam (no pure-JVM codec in this container) — swapping a
-    * native decoder in changes only the per-row function, not the dataflow.
+    * (means in [0,1]). Audio decodes for REAL too: `javax.sound.sampled`
+    * WAV → waveform stats [n_samples, sample_rate, RMS, peak,
+    * zero-crossing rate, mean, min, max] (amplitudes normalized to
+    * [-1, 1]). Video falls back to the deterministic byte-signature seam
+    * (no pure-JVM video codec in this container) — swapping a native
+    * decoder in changes only the per-row function, not the dataflow.
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -132,6 +170,35 @@ object Multimodal {
               sr / n / 255f, sg / n / 255f, sb / n / 255f,
               (0.299f * sr + 0.587f * sg + 0.114f * sb) / n / 255f,
               minL / 255f, maxL / 255f)
+          } else if (m.kind == "audio") {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val fmt = ais.getFormat
+            val raw = ais.readAllBytes()
+            ais.close()
+            val bb = java.nio.ByteBuffer.wrap(raw).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = raw.length / 2
+            var sumSq = 0.0; var sum = 0.0
+            var peak = 0f; var mn = 1f; var mx = -1f
+            var zc = 0; var prev = 0f
+            var i = 0
+            while (i < n) {
+              val v = bb.getShort(2 * i) / 32768f
+              sumSq += v.toDouble * v; sum += v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (i > 0 && ((v >= 0f) != (prev >= 0f))) zc += 1
+              prev = v
+              i += 1
+            }
+            val nf = math.max(n, 1).toFloat
+            Array(n.toFloat, fmt.getSampleRate,
+              math.sqrt(sumSq / nf).toFloat, peak,
+              zc / nf, (sum / nf).toFloat, mn, mx)
           } else {
             java.util.Arrays.fill(acc, 0f)
             var i = 0
@@ -238,15 +305,15 @@ object Multimodal {
           .orderBy("doc_id")),
 
     // Full plumbing smoke: binary payloads → batched decode (REAL PNG
-    // decode for images; byte-signature seam for audio/video) → per-kind
-    // feature stats. Pixel decode isn't SQL-expressible, but it is
-    // deterministic — the sf0.01 output is versioned at fixtures/ as a
-    // regression pin.
+    // decode for images, REAL WAV decode for audio; byte-signature seam
+    // for video only) → per-kind feature stats. Media decode isn't
+    // SQL-expressible, but it is deterministic — the sf0.01 output is
+    // versioned at fixtures/ as a regression pin.
     QueryDef(
       "m02_media_features",
       covers = "north-star multimodal",
       oracle = Some("""
-        -- regression pin (sf0.01): real PNG pixel decode, no SQL twin
+        -- regression pin (sf0.01): real PNG/WAV decode, no SQL twin
         SELECT * FROM read_parquet('/root/repo/fixtures/m02_media_features.parquet')
         ORDER BY kind"""),
       build = (s, d) => {

@@ -5,12 +5,44 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: opaque binary payloads + typed metadata through
   * batched partition-local transforms. Image rows carry real PNGs (encode,
-  * decode, and resize run through javax.imageio); audio/video decode stays
-  * a deterministic seam. Schemas, explode shapes, and determinism are the
-  * contract under test. */
+  * decode, and resize run through javax.imageio); audio rows carry real
+  * RIFF/PCM16 WAVs (decoded through javax.sound.sampled); video decode
+  * stays a deterministic seam. Schemas, explode shapes, and determinism
+  * are the contract under test. */
 class MultimodalSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("audio payloads are real WAVs whose decoded format matches metadata") {
+    val audios = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "audio").collect()
+    assert(audios.nonEmpty)
+    audios.foreach { m =>
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      assert(ais.getFormat.getSampleRate == m.sample_rate.toFloat)
+      assert(ais.getFormat.getSampleSizeInBits == 16)
+      ais.close()
+    }
+  }
+
+  test("audio features are real waveform statistics") {
+    val media = Multimodal.mediaTable(spark, dir).filter(_.kind == "audio")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val Array(n, sr, rms, peak, zcr, mean, mn, mx) = f.feature
+      assert(n > 0 && sr == 16000f)
+      // a sine-mix waveform: substantial energy, bounded by its peak
+      assert(rms > 0.1f && rms <= peak && peak <= 1f)
+      assert(zcr > 0f && zcr < 1f)
+      assert(mn <= mean && mean <= mx)
+      // clips truncate mid-period (down to 1/4 wave), so the mean is only
+      // loosely centered — but DC offset stays well under the signal level
+      assert(math.abs(mean) < 0.5f && math.abs(mean) < peak)
+    }
+  }
 
   test("image payloads are real PNGs whose decoded dims match the metadata") {
     val images = Multimodal.mediaTable(spark, dir)
