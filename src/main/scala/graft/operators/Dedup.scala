@@ -82,9 +82,11 @@ object Dedup {
       .localCheckpoint()
     var prev  = checksum(edges)
     var iters = 0
-    var done  = edges.isEmpty
+    var done  = prev._1 == 0L
     while (!done && iters < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // lazy checkpoint: the checksum action is the one job that both
+      // materializes the round and tests the fixpoint
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = checksum(edges)
       done = cur == prev
       prev = cur

@@ -50,6 +50,65 @@ object Mix {
           .orderBy("source", "rn")
       }),
 
+    // --------------------------------------------------------------- X-mix 3
+    // Deterministic train/val/test split assignment: the split is a pure
+    // function of doc_id (multiplicative hash → 80/10/10 thresholds), so
+    // membership is stable across runs, cluster shapes, and re-ingests —
+    // a row never migrates between splits when the corpus around it
+    // changes. Zero shuffle for the assignment itself; the report is one
+    // groupBy.
+    QueryDef(
+      "x03_split_assign",
+      covers = "W6 mix north-star",
+      oracle = Some("""
+        SELECT source, split, count(*) AS n_docs, min(doc_id) AS min_doc
+        FROM (
+          SELECT source, doc_id,
+                 CASE WHEN u < 0.8 THEN 'train'
+                      WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT source, doc_id,
+                       ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+                FROM documents))
+        GROUP BY source, split ORDER BY source, split"""),
+      build = (s, d) => {
+        val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+          lit(4294967296.0)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(u < 0.8, lit("train"))
+              .when(u < 0.9, lit("val"))
+              .otherwise(lit("test")))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .orderBy("source", "split")
+      }),
+
+    // --------------------------------------------------------------- X-mix 4
+    // Temperature-scaled mix weights (the multinomial sampling weights of
+    // multilingual/multi-source training: p_s ∝ n_s^α, α < 1 upweights
+    // small sources): per-source counts, then a global normalization. The
+    // global sum is a single scalar — at 100 TB this is one tiny
+    // all-to-one aggregate over |sources| rows, not over documents.
+    QueryDef(
+      "x04_mix_weights",
+      covers = "A10 mix north-star",
+      oracle = Some("""
+        SELECT source, n_docs,
+               round(pow(n_docs, 0.7) /
+                     sum(pow(n_docs, 0.7)) OVER (), 6) AS p_sample
+        FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        ORDER BY source"""),
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("p_sample",
+            round(pow(col("n_docs"), lit(0.7)) /
+              sum(pow(col("n_docs"), lit(0.7)))
+                .over(org.apache.spark.sql.expressions.Window
+                  .partitionBy()), 6))
+          .orderBy("source")),
+
     // --------------------------------------------------------------- X-mix 2
     // Token-budget shard manifest: greedy running-sum packing (the q04/W7
     // pattern generalized from lineitem bins to corpus shards) of each

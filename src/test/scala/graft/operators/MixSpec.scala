@@ -32,6 +32,44 @@ class MixSpec extends SparkTestBase {
     }
   }
 
+  test("split assignment is a pure function of doc_id (re-ingest stable)") {
+    import spark.implicits._
+    // the same hash thresholds, computed directly per doc
+    val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+      lit(4294967296.0)
+    val full = graft.Tables.documents(spark, dir)
+      .withColumn("split",
+        when(u < 0.8, lit("train")).when(u < 0.9, lit("val"))
+          .otherwise(lit("test")))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // drop half the corpus: every surviving doc keeps its split
+    val half = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("split",
+        when(u < 0.8, lit("train")).when(u < 0.9, lit("val"))
+          .otherwise(lit("test")))
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(half.nonEmpty)
+    half.foreach { case (id, s) => assert(full(id) == s) }
+    // all three splits occur, train dominates
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("mix weights are a probability distribution upweighting small sources") {
+    val q = Mix.defs.find(_.name == "x04_mix_weights").get
+    val rows = q.build(spark, dir).collect()
+    val ps = rows.map(_.getAs[Double]("p_sample"))
+    assert(math.abs(ps.sum - 1.0) < 1e-4)
+    // α < 1: sampling probability per doc is HIGHER for smaller sources
+    val byN = rows.map(r =>
+      r.getAs[Long]("n_docs") -> r.getAs[Double]("p_sample"))
+    for ((na, pa) <- byN; (nb, pb) <- byN if na < nb)
+      assert(pa / na > pb / nb * 0.999,
+        s"per-doc probability not favoring small source: ($na,$pa) ($nb,$pb)")
+  }
+
   test("shard totals respect the greedy budget bound") {
     // greedy running-sum packing: a shard's total can exceed the budget by
     // at most its final document (the one that crossed the boundary), so
