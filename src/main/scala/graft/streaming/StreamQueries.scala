@@ -50,6 +50,27 @@ object StreamQueries {
           unique("d10s"), mode = "append")
           .orderBy("h")),
 
+    // Stream-static enrichment: every micro-batch joins the broadcast
+    // customer dim before the stateful window — the bounded-input run must
+    // equal the batch join+group, which the oracle checks.
+    QueryDef(
+      "q39s_stream_enrich",
+      covers = "J1 Q26 streaming north-star",
+      oracle = Some("""
+        SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               c_mktsegment AS segment, count(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY wstart, segment ORDER BY wstart, segment"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.enrichedSegmentCounts(
+            Streams.eventsStream(s, d),
+            graft.Tables.customer(s, d)
+              .select(col("c_custkey").as("user_id"),
+                col("c_mktsegment").as("segment"))),
+          unique("q39s"))
+          .orderBy("wstart", "segment")),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

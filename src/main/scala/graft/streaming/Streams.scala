@@ -56,6 +56,26 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"))
 
+  /** Stream-static enrichment join: the event stream joins a BROADCAST
+    * static dimension (user → segment), then tumbling counts per segment.
+    * The canonical "enrich the firehose with reference data" shape: the
+    * static side re-plans per micro-batch (picking up dim updates) and the
+    * stream never shuffles for the join — only the windowed aggregation
+    * keys an exchange. Counts only: a cross-engine float sum would be
+    * order-dependent. */
+  def enrichedSegmentCounts(
+      events: DataFrame,
+      dim: DataFrame, // user_id, segment
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "5 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("segment"), col("n"))
+
   /** Streaming q27: sliding 10/5-minute counts. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

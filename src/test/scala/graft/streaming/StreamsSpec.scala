@@ -243,4 +243,30 @@ class StreamsSpec extends SparkTestBase {
         s"finalized window [0,5) should have emitted n=2: ${emitted.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-static join enriches each micro-batch against the dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("user_id", "segment")
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = Streams.enrichedSegmentCounts(
+      input.toDF.toDF("ts", "user_id"), dim)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("enrich").start()
+    try {
+      // two batches: counts accumulate per (window, segment) across
+      // batches, and a user with no dim row never appears (inner join)
+      input.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 9L))
+      q.processAllAvailable()
+      input.addData((ts(4), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select("segment", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.filter(_._1 == "AUTO").map(_._2).max == 2L)
+      assert(rows.contains(("RETAIL", 1L)))
+      assert(!rows.exists(_._1 == null), s"unmatched user leaked: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
