@@ -409,6 +409,103 @@ object Dedup {
           .orderBy("doc_id")
       }),
 
+    // ------------------------------------------- end-to-end curation pipeline
+    // The flagship composition this engine exists for: quality gate →
+    // exact dedup (keep first) → MinHash-LSH candidates → connected
+    // components → keep representatives → deterministic split assignment →
+    // per-(source, split) mix report. Every stage is one of the verified
+    // operators above composed UNCHANGED; the oracle chains the same
+    // stages as CTEs. At 100 TB the dataflow is: one quality-filtered
+    // scan, one md5 groupBy, one band-key shuffle, O(log²) star rounds
+    // over candidate edges only, then a |sources×splits| aggregate —
+    // nothing keyed by anything wider than a hash.
+    QueryDef(
+      "p03_corpus_curation",
+      covers = "F6 X1 X5 W6 A10 mix north-star",
+      oracle = Some("""
+        WITH RECURSIVE
+        q AS (SELECT doc_id, text, source, n_chars FROM documents
+              WHERE n_chars BETWEEN 200 AND 2000),
+        firsts AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                   FROM q GROUP BY 1),
+        uniq AS (SELECT q.* FROM q JOIN firsts ON firsts.doc_id = q.doc_id),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM uniq),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                 FROM bands a JOIN bands c
+                   ON a.bkey = c.bkey AND a.b = c.b AND a.doc_id < c.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM cand),
+        reach AS (SELECT src, src AS dst FROM edges
+                  UNION
+                  SELECT r.src, e.dst FROM reach r
+                  JOIN edges e ON e.src = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS component
+                 FROM reach GROUP BY src),
+        reps AS (SELECT u.* FROM uniq u LEFT JOIN comp ON comp.doc_id = u.doc_id
+                 WHERE comp.component IS NULL OR comp.component = u.doc_id),
+        final AS (SELECT source, n_chars, doc_id,
+                         CASE WHEN u < 0.8 THEN 'train'
+                              WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+                  FROM (SELECT *,
+                          ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+                        FROM reps))
+        SELECT source, split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc
+        FROM final GROUP BY source, split ORDER BY source, split"""),
+      build = (s, d) => {
+        // F6 quality gate straight off the scan (t02's length criterion)
+        val q = Tables.documents(s, d)
+          .filter(col("n_chars").between(200, 2000))
+          .select("doc_id", "text", "source", "n_chars")
+        // X1 exact dedup: keep the first doc of each content hash
+        val hashed = q.withColumn("h", md5(col("text").cast("binary")))
+        val uniq = hashed.join(
+          hashed.groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+          Seq("h", "doc_id"), "left_semi")
+        // X5 near-dup: signature kernel scan-side, one band shuffle (d03)
+        val sig = uniq.select(col("doc_id"),
+          graft.functions.HashKernels.minhashSigCol(s, col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+        val bands = bandsOf(sig, "doc_id")
+        val pairs = bands.select(col("doc_id").as("id_a"), col("b"), col("bkey"))
+          .join(bands.select(col("doc_id").as("id_b"), col("b"), col("bkey")),
+            Seq("b", "bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        // components → representatives (min doc of each dup family)
+        val labels = connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        val reps = uniq
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+        // W6 deterministic split + A10 mix report
+        val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+          lit(4294967296.0)
+        reps
+          .withColumn("split",
+            when(u < 0.8, lit("train")).when(u < 0.9, lit("val"))
+              .otherwise(lit("test")))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("bigint").as("total_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("source", "split")
+      }),
+
     // ------------------------------------------------------------ SimHash
     // 64-bit SimHash; candidates = equal 16-bit band + Hamming ≤ 16. Bit
     // source is the first 8 bytes of md5(token) — the same value DuckDB
