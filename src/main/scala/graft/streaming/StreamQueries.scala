@@ -71,6 +71,27 @@ object StreamQueries {
           unique("q39s"))
           .orderBy("wstart", "segment")),
 
+    // Stream-stream interval join: watermarked state on BOTH sides, range
+    // predicate bounding eviction — the last stateful-join surface. Two
+    // independent file-source streams over the same feed.
+    QueryDef(
+      "q40s_stream_interval_join",
+      covers = "J1 D4 streaming north-star",
+      oracle = Some("""
+        SELECT a.user_id,
+               strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        ORDER BY a.user_id, click_ts, buy_ts"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.clickPurchaseJoin(Streams.eventsStream(s, d)),
+          unique("q40s"), mode = "append")
+          .orderBy("user_id", "click_ts", "buy_ts")),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

@@ -76,6 +76,31 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("segment"), col("n"))
 
+  /** Stream-STREAM interval join: clicks join purchases by the same user
+    * within a 10-minute attribution window. Both sides carry watermarks —
+    * that plus the time-range predicate is what lets the engine EVICT join
+    * state (a click older than watermark+10min can never match again), so
+    * state is bounded by the window, not the stream. Inner-join matches
+    * emit as they arrive; on bounded input the result equals the batch
+    * interval join, which is what the oracle checks. */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermark)
+    clicks.join(buys,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_ts"))
+  }
+
   /** Streaming q27: sliding 10/5-minute counts. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

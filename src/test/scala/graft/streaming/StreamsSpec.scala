@@ -244,6 +244,31 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across batches within the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = Streams.clickPurchaseJoin(
+      input.toDF.toDF("ts", "user_id", "event_type"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    try {
+      // batch 1: a click; the matching purchase only arrives in batch 2 —
+      // the join must hold click state across the batch boundary
+      input.addData((ts(0), 1L, "click"), (ts(1), 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("attrib").isEmpty)
+      // user 1 purchases inside the 10-min window; user 2 outside it
+      input.addData((ts(5), 1L, "purchase"), (ts(30), 2L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").select("user_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L),
+        s"expected only user 1's in-window attribution, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch against the dimension") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
