@@ -28,6 +28,9 @@ object Demo {
     println("=== MinHash-LSH near-dup candidates ===")
     SparkEntry.queries("d03_minhash_lsh")(spark, dir).show(5, truncate = false)
 
+    println("=== end-to-end corpus curation (quality→dedup→split→mix) ===")
+    SparkEntry.queries("p03_corpus_curation")(spark, dir).show(6, truncate = false)
+
     println("=== crawl dataflow (mock fetcher, error envelope) ===")
     import graft.sources.WebCorpus
     import spark.implicits._

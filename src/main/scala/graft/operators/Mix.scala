@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
+  /** Materialize the shard layout x02 plans: write the corpus partitioned
+    * by (source, shard) and return the manifest of what was actually
+    * written (read back from the layout). The sink-side twin of
+    * `x02_shard_manifest` — a loader consumes the shard directories and
+    * the manifest is their index. Same one `source`-keyed window shuffle
+    * as x02, then a partitioned write; at 100 TB each (source, shard)
+    * directory is a bounded-token unit a loader can fetch independently. */
+  def writeShards(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      out: String,
+      budget: Int = 512): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("tokens"))
+      .withColumn("shard",
+        floor(sum(col("tokens")).over(w).cast("double") / budget.toDouble)
+          .cast("bigint"))
+      .write.mode("overwrite").partitionBy("source", "shard").parquet(out)
+    s.read.parquet(out)
+      // partition-dir values read back type-inferred (int) — restore bigint
+      .withColumn("shard", col("shard").cast("bigint"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("bigint").as("total_tokens"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- X-mix 1
     // Per-source quota sample (A-Res weighted by document length): keep the

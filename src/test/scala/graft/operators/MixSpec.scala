@@ -70,6 +70,23 @@ class MixSpec extends SparkTestBase {
         s"per-doc probability not favoring small source: ($na,$pa) ($nb,$pb)")
   }
 
+  test("writeShards materializes the layout the manifest query plans") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val written = Mix.writeShards(spark, dir, out)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val planned = Mix.defs.find(_.name == "x02_shard_manifest").get
+      .build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(written == planned,
+      s"written layout differs from planned manifest")
+    // the layout is real partition directories a loader can list
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
+  }
+
   test("shard totals respect the greedy budget bound") {
     // greedy running-sum packing: a shard's total can exceed the budget by
     // at most its final document (the one that crossed the boundary), so
