@@ -71,12 +71,17 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    def checksum(e: DataFrame): (Long, Long) = {
+    def checksum(e: DataFrame): (Long, Long, Long) = {
       // bit_xor: order-independent and overflow-free (ANSI sum of hashes
-      // overflows a Long almost immediately)
+      // overflows a Long almost immediately); two argument orders = two
+      // independent 64-bit digests, so a premature-fixpoint collision
+      // needs a simultaneous 128-bit match
       val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(src, dst))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        expr("bit_xor(xxhash64(src, dst))"),
+        expr("bit_xor(xxhash64(dst, src))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var edges = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
       .localCheckpoint()
