@@ -298,14 +298,26 @@ object Streams {
   def runToMemory(
       agg: DataFrame,
       name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: String = "complete",
+      statePartitions: Int = 8): DataFrame = {
+    // State partition count is captured at query START from
+    // spark.sql.shuffle.partitions and sizes the state-store file fan-out
+    // (a stream-stream join keeps 4 stores per partition, each snapshotting
+    // per batch). A real deployment sizes it to stream volume per job; the
+    // session's 32 batch partitions cost ~4× the snapshot I/O these small
+    // bounded gates need, so set it for the query and restore after.
+    val spark = agg.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     agg.sparkSession.table(name)
   }
 }
