@@ -46,7 +46,14 @@ object Dedup {
     * [[connectedComponentsMinLabel]] keeps the simple propagation loop as
     * the spec cross-check (both agree with a driver union-find in
     * DedupSpec). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame =
+    connectedComponentsWithStats(pairs, maxIters)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * run — the observable that pins the O(log²) bound (DedupSpec runs a
+    * 600-node chain in ~10 rounds where min-label would need ~600). */
+  private[graft] def connectedComponentsWithStats(
+      pairs: DataFrame, maxIters: Int = 32): (DataFrame, Int) = {
     // large-star: every node v strictly larger than u links to
     // m = min(Γ(u) ∪ {u}); small-star: every smaller neighbor (and u
     // itself) links to m. Alternating the two is monotone toward the
@@ -98,9 +105,9 @@ object Dedup {
       iters += 1
     }
     // fixpoint is a star per component: each member points to the min
-    edges.select(col("src").as("id"), col("dst").as("label"))
+    (edges.select(col("src").as("id"), col("dst").as("label"))
       .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
-      .distinct()
+      .distinct(), iters)
   }
 
   /** Min-label propagation variant: one edge-keyed shuffle per round,
@@ -480,10 +487,13 @@ object Dedup {
         val uniq = hashed.join(
           hashed.groupBy("h").agg(min(col("doc_id")).as("doc_id")),
           Seq("h", "doc_id"), "left_semi")
-        // X5 near-dup: signature kernel scan-side, one band shuffle (d03)
-        val sig = uniq.select(col("doc_id"),
-          graft.functions.HashKernels.minhashSigCol(s, col("text")).as("sig"))
-          .filter(col("sig").isNotNull)
+        // X5 near-dup: reuse the session's shared signature INDEX
+        // (sigFrame — the same memo d03/d06/d08 read) instead of
+        // recomputing the kernel over the survivors: at 100 TB the
+        // signature index is persisted next to the corpus and curation
+        // consumes it; the semi-join restricts it to the surviving docs
+        val sig = sigFrame(s, d).select("doc_id", "sig")
+          .join(uniq.select("doc_id"), Seq("doc_id"), "left_semi")
         val bands = bandsOf(sig, "doc_id")
         val pairs = bands.select(col("doc_id").as("id_a"), col("b"), col("bkey"))
           .join(bands.select(col("doc_id").as("id_b"), col("b"), col("bkey")),

@@ -42,6 +42,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.keySet == Set(1L, 2L, 3L, 8L, 9L, 10L))
   }
 
+  test("a 600-node chain converges in logarithmic star rounds") {
+    import spark.implicits._
+    // worst-case shape for label propagation: one chain of diameter 599.
+    // Min-label would need ~600 rounds; the star algorithm's round count
+    // must stay logarithmic — this is the observable that justifies it.
+    val pairs = (0L until 599L).map(i => (i * 2, i * 2 + 2))
+    val (labels, iters) = Dedup.connectedComponentsWithStats(
+      pairs.toDF("src", "dst"), maxIters = 32)
+    assert(iters <= 15, s"expected O(log) star rounds on a chain, got $iters")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 600 && got.forall(_._2 == 0L),
+      "every chain node must label to the minimum")
+  }
+
   test("random graphs agree with a reference union-find (50 seeds)") {
     val rnd = new scala.util.Random(42)
     (1 to 50).foreach { trial =>
