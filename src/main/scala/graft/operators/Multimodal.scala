@@ -8,16 +8,16 @@ import org.apache.spark.sql.functions._
   * metadata, with decode/feature-extraction as partition-local batch
   * functions (north-star multimodal surface).
   *
-  * Image and audio rows carry REAL encoded media: deterministic synthetic
-  * PNGs (pure-JVM `javax.imageio`) and RIFF/PCM16 WAVs (decoded back
-  * through `javax.sound.sampled` — the JVM's real audio codec API), and
-  * [[decodeFeatures]] computes real pixel statistics / real waveform
-  * statistics (RMS, peak, zero-crossing rate). Video has no pure-JVM codec
-  * in this container, so its decode stays a clearly-marked deterministic
-  * byte-signature seam — the Spark-side plumbing (schema, binary payloads,
-  * batched mapPartitions with per-partition buffer reuse, partition-count
-  * control so a 100 TB media lake decodes with bounded memory per task) is
-  * identical for all kinds.
+  * ALL THREE kinds carry REAL encoded media and decode for real:
+  * deterministic synthetic PNGs (pure-JVM `javax.imageio`), RIFF/PCM16 WAVs
+  * (decoded back through `javax.sound.sampled` — the JVM's real audio codec
+  * API), and MJPEG-in-AVI clips ([[AviMjpeg]]: hand-rolled RIFF/AVI
+  * container, frames through `javax.imageio`'s real JPEG codec).
+  * [[decodeFeatures]] computes real pixel statistics / waveform statistics
+  * (RMS, peak, zero-crossing rate) / per-frame luma statistics. The
+  * Spark-side plumbing (schema, binary payloads, batched mapPartitions,
+  * partition-count control so a 100 TB media lake decodes with bounded
+  * memory per task) is identical for all kinds.
   */
 object Multimodal {
 
@@ -66,6 +66,22 @@ object Multimodal {
   private def imageDims(id: Long): (Int, Int) =
     ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
 
+  private val VideoFps = 4
+
+  private def videoDims(id: Long): (Int, Int) =
+    ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+
+  /** Deterministic synthetic clip for media_id: 2–5 frames whose pixels are
+    * per-frame affine hashes (the frame index perturbs the id), encoded as
+    * a REAL MJPEG-in-AVI payload. Dims stay ≤ 24×20 and frame counts ≤ 5 so
+    * per-row encode cost is bounded. */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    val n      = (id % 4 + 2).toInt
+    val frames = (0 until n).map(f => synthImage(id + 7919L * (f + 1), w, h))
+    AviMjpeg.encode(w, h, VideoFps, frames)
+  }
+
   /** Deterministic synthetic waveform for media_id — a two-tone sine whose
     * fundamental and length derive from the id — encoded as a REAL
     * RIFF/PCM16 mono WAV (44-byte canonical header + little-endian
@@ -99,17 +115,15 @@ object Multimodal {
   }
 
   /** Build a media table from `documents`: image rows carry a REAL encoded
-    * PNG payload, audio rows a REAL RIFF/PCM16 WAV (both synthetic,
-    * deterministic per media_id); video carries the row's utf-8 bytes
-    * standing in for encoded frames (no pure-JVM video codec — the
-    * plumbing is identical). */
+    * PNG payload, audio rows a REAL RIFF/PCM16 WAV, video rows a REAL
+    * MJPEG-in-AVI clip (all synthetic, deterministic per media_id). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+      .select(col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
+        it.map { id =>
           (id % 3) match {
             case 0 =>
               val (w, h) = imageDims(id)
@@ -119,8 +133,8 @@ object Multimodal {
               MediaRecord(id, "audio", encodeWav(id),
                 0, 0, 16000)
             case _ =>
-              MediaRecord(id, "video", text.getBytes("UTF-8"),
-                (id % 640 + 1).toInt, (id % 480 + 1).toInt, 16000)
+              val (w, h) = videoDims(id)
+              MediaRecord(id, "video", encodeAvi(id), w, h, 0)
           }
         }
       }
@@ -133,14 +147,13 @@ object Multimodal {
     * (means in [0,1]). Audio decodes for REAL too: `javax.sound.sampled`
     * WAV → waveform stats [n_samples, sample_rate, RMS, peak,
     * zero-crossing rate, mean, min, max] (amplitudes normalized to
-    * [-1, 1]). Video falls back to the deterministic byte-signature seam
-    * (no pure-JVM video codec in this container) — swapping a native
-    * decoder in changes only the per-row function, not the dataflow.
+    * [-1, 1]). Video decodes for REAL as well: [[AviMjpeg]] container parse
+    * → per-frame JPEG decode → [n_frames, width, height, fps, mean luma,
+    * min/max per-frame mean luma, duration_ms] (lumas in [0,1]).
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val acc = new Array[Float](8) // per-partition scratch, reused per row
       it.map { m =>
         val feature: Array[Float] =
           if (m.kind == "image") {
@@ -200,13 +213,31 @@ object Multimodal {
               math.sqrt(sumSq / nf).toFloat, peak,
               zc / nf, (sum / nf).toFloat, mn, mx)
           } else {
-            java.util.Arrays.fill(acc, 0f)
-            var i = 0
-            while (i < m.payload.length) {
-              acc(i % 8) += (m.payload(i) & 0xff) / 255f
-              i += 1
+            val clip = AviMjpeg.decode(m.payload)
+            var sumAll = 0.0; var minF = 1f; var maxF = 0f
+            clip.frames.foreach { img =>
+              var s = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  s += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              val mean =
+                (s / (img.getWidth * img.getHeight) / 255.0).toFloat
+              sumAll += mean
+              if (mean < minF) minF = mean
+              if (mean > maxF) maxF = mean
             }
-            acc.clone()
+            val n = clip.frames.length
+            Array(n.toFloat, clip.width.toFloat, clip.height.toFloat,
+              clip.fps.toFloat, (sumAll / n).toFloat, minF, maxF,
+              n * 1000f / clip.fps)
           }
         MediaFeatures(m.media_id, m.kind, m.payload.length, feature)
       }
