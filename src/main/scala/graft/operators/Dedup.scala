@@ -614,6 +614,129 @@ object Dedup {
           .orderBy("id_a", "id_b")
       }),
 
+    // ------------------------------------------- n-gram-overlap decontamination
+    // The GPT-3/PaLM-style decontamination pass: a corpus document is
+    // contaminated if it shares ANY 5-token n-gram with the eval set
+    // (source = 'src0'), and the output counts the shared n-grams per
+    // contaminated doc. The scale design is a broadcast Bloom prefilter:
+    // the filter is built once over the eval-set n-grams and shipped to
+    // every task, so the corpus explodes and probes its n-grams row-locally
+    // and >99% of them short-circuit before any shuffle — only Bloom hits
+    // reach the exact broadcast join, which removes false positives. The
+    // Bloom therefore changes COST, never the answer, which is what keeps
+    // this exact-checkable against the plain-join oracle. (Complementary to
+    // d08: that flags near-dup docs by MinHash; this flags verbatim n-gram
+    // leakage.)
+    QueryDef(
+      "d11_ngram_decontaminate",
+      covers = "X5 F6 north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(range(1, len(t)-3),
+                       i -> array_to_string(t[i:i+4], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        SELECT c.doc_id AS corpus_id, count(*) AS n_shared
+        FROM g c JOIN ev USING (gram)
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id ORDER BY corpus_id"""),
+      build = (s, d) => {
+        val n = 5
+        val toks = split(col("text"), " ")
+        // distinct n-grams per row, built scan-side; grams are distinct on
+        // both sides, so the inner join hits each shared gram exactly once
+        // and count(*) == count(DISTINCT gram)
+        val grams = array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        val docs = Tables.documents(s, d)
+          .filter(size(split(col("text"), " ")) >= n)
+          .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+        val eval = docs.filter(col("source") === "src0")
+          .select("gram").distinct()
+        val bf  = eval.stat.bloomFilter("gram", 1 << 20, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        // UDF justified: Spark has no built-in Bloom probe; one hash+bitmap
+        // test per gram, and only a prefilter — exactness comes from the
+        // join behind it
+        val mightHit = udf((g: String) => g != null && bfB.value.mightContain(g))
+        docs.filter(col("source") =!= "src0")
+          .filter(mightHit(col("gram")))
+          .join(broadcast(eval), Seq("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .select(col("doc_id").as("corpus_id"), col("n_shared"))
+          .orderBy("corpus_id")
+      }),
+
+    // ------------------------------------------------- span-level (C4) dedup
+    // C4-style duplicate-span removal WITHIN documents across the corpus:
+    // split every doc into consecutive 10-token spans, keep only each
+    // span's globally first occurrence (by (doc_id, position)), and
+    // reassemble the surviving text. Unlike d01 (whole-doc) this removes
+    // boilerplate repeated inside otherwise-distinct documents. Scale
+    // shape: spans explode row-locally; the first-occurrence resolution is
+    // ONE groupBy-min on the span hash (no window over the corpus) and a
+    // hash-keyed join back; reassembly is one doc-keyed aggregation.
+    QueryDef(
+      "d12_span_dedup",
+      covers = "X5 T2 north-star",
+      oracle = Some("""
+        WITH p AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        base AS (SELECT doc_id, cast(ceil(len(t) / 10.0) AS BIGINT) AS n_spans
+                 FROM p),
+        sp AS (SELECT doc_id, i, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+               FROM p, unnest(range(0, cast(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)),
+        firsts AS (SELECT doc_id, i, span,
+                     row_number() OVER (PARTITION BY md5(span)
+                                        ORDER BY doc_id, i) AS rn
+                   FROM sp),
+        kept AS (SELECT doc_id, i, span FROM firsts WHERE rn = 1),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(span, ' ' ORDER BY i) AS clean
+                FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, b.n_spans,
+               coalesce(a.n_kept, 0) AS n_kept,
+               b.n_spans - coalesce(a.n_kept, 0) AS n_dropped,
+               md5(coalesce(a.clean, '')) AS clean_md5
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY b.doc_id"""),
+      build = (s, d) => {
+        val toks = split(col("text"), " ")
+        val nSpans = ceil(size(toks) / 10.0).cast("long")
+        // size(toks) >= 1 always (split of '' is ['']), so the sequence
+        // bound is >= 0 and never produces a descending ramp
+        val spans = transform(sequence(lit(0), nSpans.cast("int") - 1),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), nSpans.as("n_spans"), spans.as("spans"))
+        val sp = base
+          .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+          .withColumn("h", md5(col("span").cast("binary")))
+        // first global occurrence per span: struct min orders
+        // lexicographically by (doc_id, pos) — same as the oracle's
+        // row_number over (doc_id, i)
+        val firsts = sp.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("keep"))
+        val kept = sp.join(firsts, "h")
+          .filter(col("doc_id") === col("keep.doc_id") &&
+            col("pos") === col("keep.pos"))
+        val agg = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+                x => x.getField("span")), " ").as("clean"))
+        base.select("doc_id", "n_spans")
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+      }),
+
     // ------------------------------------------------- grouped-LLM tree dedup
     // The FULL A9 halving dataflow (TreeDedup.run) end-to-end with the
     // deterministic mock model: hash-grouped claims, per-group dedup, then

@@ -425,7 +425,124 @@ object Similarity {
         FROM kk LEFT JOIN hits ON hits.qid = kk.qid
         ORDER BY kk.qid, method"""),
       build = (s, d) =>
-        recallOf(s, d, "s04_ann_ivf_topk", "ivf").orderBy("qid", "method"))
+        recallOf(s, d, "s04_ann_ivf_topk", "ivf").orderBy("qid", "method")),
+
+    // Product-quantization ANN (Jégou et al., PAMI'11 — the FAISS IVF-PQ
+    // code path): each vector is encoded as M=4 one-byte codes (argmin
+    // codeword per 16-dim subspace), 64× smaller than the float vector,
+    // and queries score candidates by asymmetric distance computation —
+    // a per-query M×16 distance table built once scan-side, after which a
+    // candidate costs 4 array lookups and 3 adds, never a 64-dim dot.
+    // This completes the ANN compression ladder (s06 = scalar int8 at 4×,
+    // s07 = PQ at 64×). The codebook reuses the IVF sampled-quantizer trick
+    // (subvectors of the 16 smallest-md5(vec_id) corpus vectors), so the
+    // entire pipeline — codebook, encoding, distance tables, top-k — is
+    // deterministic, partition-layout-independent, and hash-checked against
+    // DuckDB. The oracle sums the 4 per-subspace terms in the same fixed
+    // association order as the Spark expression, so doubles match bitwise
+    // before the 6dp round.
+    QueryDef(
+      "s07_ann_pq_topk",
+      covers = "north-star ANN compression (PQ)",
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                          - 1 AS j, v AS cv
+                 FROM e),
+        c16 AS (SELECT j, cv FROM cent WHERE j < 16),
+        cw AS (SELECT m, j, cv[(m*16+1):(m*16+16)] AS w,
+                      list_dot_product(cv[(m*16+1):(m*16+16)],
+                                       cv[(m*16+1):(m*16+16)]) AS cc
+               FROM c16, unnest([0, 1, 2, 3]) AS u(m)),
+        assign AS (SELECT e.vec_id, cw.m, cw.j,
+                     row_number() OVER (PARTITION BY e.vec_id, cw.m
+                       ORDER BY cw.cc - 2 * list_dot_product(
+                                  e.v[(cw.m*16+1):(cw.m*16+16)], cw.w),
+                                cw.j) AS rn
+                   FROM e, cw),
+        codes AS (SELECT vec_id,
+                    max(CASE WHEN m = 0 THEN j END) AS c0,
+                    max(CASE WHEN m = 1 THEN j END) AS c1,
+                    max(CASE WHEN m = 2 THEN j END) AS c2,
+                    max(CASE WHEN m = 3 THEN j END) AS c3
+                  FROM assign WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        dt AS (SELECT q.qid, cw.m, cw.j,
+                 list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)],
+                                  q.qv[(cw.m*16+1):(cw.m*16+16)])
+                 - 2 * list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)], cw.w)
+                 + cw.cc AS dist
+               FROM q, cw),
+        scored AS (SELECT d0.qid, c.vec_id,
+                     round(((d0.dist + d1.dist) + d2.dist) + d3.dist, 6) AS adist
+                   FROM codes c
+                   JOIN dt d0 ON d0.m = 0 AND d0.j = c.c0
+                   JOIN dt d1 ON d1.qid = d0.qid AND d1.m = 1 AND d1.j = c.c1
+                   JOIN dt d2 ON d2.qid = d0.qid AND d2.m = 2 AND d2.j = c.c2
+                   JOIN dt d3 ON d3.qid = d0.qid AND d3.m = 3 AND d3.j = c.c3
+                   WHERE c.vec_id <> d0.qid),
+        ranked AS (SELECT qid, vec_id, adist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adist, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""),
+      build = (s, d) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
+        val dims = dimsOf(s, d)
+        val M = 4
+        require(dims % M == 0, s"PQ needs dims divisible by $M, got $dims")
+        val ds = dims / M
+        // codebook: codeword (m, j) = subspace-m slice of sampled vector j,
+        // with |w|² folded left-to-right driver-side (bit-identical to
+        // list_dot_product)
+        val cw: Seq[Seq[(Seq[Double], Double)]] = (0 until M).map { m =>
+          coarseCentroids(s, d, 16).map { case (_, c, _) =>
+            val w = c.slice(m * ds, (m + 1) * ds)
+            var cc = 0.0
+            w.foreach(x => cc += x * x)
+            (w, cc)
+          }
+        }
+        def sub(v: org.apache.spark.sql.Column, m: Int) =
+          slice(v, m * ds + 1, ds)
+        // encode: per subspace, argmin over 16 codewords in one codegen
+        // pass (same struct-min trick as s04's cell assignment)
+        def codeCol(m: Int) = array_min(array(
+          cw(m).zipWithIndex.map { case ((w, cc), j) =>
+            struct((lit(cc) - lit(2.0) *
+              dot(sub(col("embedding"), m), typedlit(w))).as("dist"),
+              lit(j).as("j"))
+          }: _*)).getField("j")
+        val e = Tables.embeddings(s, d)
+        val corpus = e.select(
+          col("vec_id") +: (0 until M).map(m => codeCol(m).as(s"code$m")): _*)
+        // ADC distance tables, built once per query row scan-side:
+        // dt_m[j] = |q_m|² − 2⟨q_m, w_mj⟩ + |w_mj|²
+        def dtabCol(m: Int) = array(cw(m).map { case (w, cc) =>
+          dot(sub(col("qv"), m), sub(col("qv"), m)) -
+            lit(2.0) * dot(sub(col("qv"), m), typedlit(w)) + lit(cc)
+        }: _*)
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .select(col("qid") +: (0 until M).map(m => dtabCol(m).as(s"dt$m")): _*)
+        // candidate cost: 4 lookups + 3 adds, summed in the oracle's
+        // association order
+        val adist = round(
+          ((element_at(col("dt0"), col("code0") + 1) +
+            element_at(col("dt1"), col("code1") + 1)) +
+            element_at(col("dt2"), col("code2") + 1)) +
+            element_at(col("dt3"), col("code3") + 1), 6)
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), adist.as("adist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "adist")
+          .orderBy("qid", "rn")
+      })
   )
 
   /** IVF coarse centroids: the k corpus vectors with the smallest

@@ -246,6 +246,49 @@ object TextAnalysis {
             col("doc_id"),
             md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
               .cast("binary")).as("fp"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Corpus vocabulary: term frequency, document frequency and Zipf share
+    // for the top-100 tokens — the vocab-building pass before tokenizer
+    // training. Scale shape: one token-keyed exchange with map-side partial
+    // aggregation (the explode never leaves its task), then a distributed
+    // TakeOrdered for the top-k — no global window/sort ever sees the full
+    // vocabulary. The rank column is derived on the 100 survivors by a
+    // broadcast pair-count so the "no unpartitioned window" invariant holds.
+    QueryDef(
+      "t08_vocab_topk",
+      covers = "T2 T11 W1 north-star",
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        agg AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+                FROM w GROUP BY tok),
+        tot AS (SELECT sum(tf) AS n FROM agg),
+        ranked AS (SELECT tok, tf, df,
+                     row_number() OVER (ORDER BY tf DESC, tok) AS rank
+                   FROM agg)
+        SELECT rank, tok, tf, df,
+               round(tf * 1.0 / (SELECT n FROM tot), 6) AS freq_share
+        FROM ranked WHERE rank <= 100 ORDER BY rank"""),
+      build = (s, d) => {
+        val agg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        val top = agg.orderBy(col("tf").desc, col("tok")).limit(100)
+        val total = agg.agg(sum(col("tf")).as("n"))
+        // rank = 1 + |{survivors strictly before in (tf desc, tok)}| —
+        // a 100×100 broadcast pair-count, never a global window
+        val before = top.select(col("tok").as("tok2"), col("tf").as("tf2"))
+        top.join(broadcast(before),
+            col("tf2") > col("tf") ||
+              (col("tf2") === col("tf") && col("tok2") < col("tok")), "left")
+          .groupBy("tok", "tf", "df")
+          .agg((count(col("tok2")) + 1).as("rank"))
+          .crossJoin(broadcast(total))
+          .select(col("rank"), col("tok"), col("tf"), col("df"),
+            round(col("tf") * 1.0 / col("n"), 6).as("freq_share"))
+          .orderBy("rank")
+      })
   )
 }

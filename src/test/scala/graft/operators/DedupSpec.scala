@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 /** Dedup clustering: min-label propagation must handle shapes deeper than
   * the shallow clusters the sf oracles produce — chains (diameter > 2),
@@ -54,6 +55,62 @@ class DedupSpec extends SparkTestBase {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 600 && got.forall(_._2 == 0L),
       "every chain node must label to the minimum")
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d11: the bloom prefilter changes cost, never the answer") {
+    import graft.Tables
+    // reference pipeline with NO bloom: plain exact join of corpus n-grams
+    // against the eval-set n-grams — d11's result must be identical,
+    // because its bloom only prunes rows ahead of the same join
+    val n = 5
+    val toks = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+    val eval = docs.filter(col("source") === "src0").select("gram").distinct()
+    val want = docs.filter(col("source") =!= "src0")
+      .join(eval, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.defs.find(_.name == "d11_ngram_decontaminate").get
+      .build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "bloom-prefiltered result must equal the exact join")
+  }
+
+  test("d12: span counts reconcile and the earliest doc keeps its spans") {
+    val rows = Dedup.defs.find(_.name == "d12_span_dedup").get
+      .build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // conservation: every span is either kept or dropped
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"n_spans != n_kept + n_dropped for doc ${r.getLong(0)}")
+    }
+    // global: total kept == number of distinct spans in the corpus (each
+    // distinct span survives exactly once)
+    import graft.Tables
+    val toks = split(col("text"), " ")
+    val spans = transform(
+      sequence(lit(0), ceil(size(toks) / 10.0).cast("int") - 1),
+      i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+    val allSpans = Tables.documents(spark, dir)
+      .select(explode(spans).as("span"))
+    val nDistinct = allSpans.distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nDistinct,
+      "sum of kept spans must equal the distinct-span count")
+    // the lowest doc_id sees every one of its distinct spans first
+    val firstDoc = rows.minBy(_.getLong(0))
+    val firstDistinct = Tables.documents(spark, dir)
+      .filter(col("doc_id") === firstDoc.getLong(0))
+      .select(explode(spans).as("span")).distinct().count()
+    assert(firstDoc.getLong(2) == firstDistinct,
+      "earliest doc must keep exactly its distinct spans")
   }
 
   test("random graphs agree with a reference union-find (50 seeds)") {

@@ -50,4 +50,28 @@ class SimilaritySpec extends SparkTestBase {
     val b = Similarity.lloydRefine(e.repartition(7), init, iters = 3)
     assert(a == b, "refined centroids must not depend on partition layout")
   }
+
+  test("s07 PQ top-k: well-formed ranks, ordered distances, nonzero recall") {
+    val dir = "/root/testdata/sf0.001"
+    val pq = ResultMemo.bypass(
+      Similarity.defs.find(_.name == "s07_ann_pq_topk").get.build(spark, dir))
+      .collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5),
+      "each of the 10 queries must return exactly k=5 neighbors")
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5),
+        "ranks must be 1..k")
+      // approximate distances must be non-decreasing in rank
+      assert(sorted.map(_.getDouble(3)).sliding(2)
+        .forall(p => p.head <= p.last + 1e-9), "adist must increase with rn")
+    }
+    // sanity: PQ at 64× compression still overlaps the exact top-k
+    val exact = ResultMemo.bypass(
+      Similarity.defs.find(_.name == "s01_cosine_topk").get.build(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
+    assert(hits > 0, "PQ top-k should intersect the exact top-k somewhere")
+  }
 }
