@@ -80,6 +80,42 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Distinct n-token grams, first-occurrence order; null if < n tokens.
+    * The general-n sibling of [[shingles]] (d11's 5-gram decontamination).
+    * Value-identical to `array_distinct(transform(sequence(1, len-n+1),
+    * i -> array_join(slice(toks, i, n), ' ')))` — but one codegen'd call
+    * per row instead of an interpreted lambda per gram. */
+  def ngrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return null
+    val set = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Bloom probe on the raw UTF-8 bytes — equivalent to
+    * `BloomFilter.mightContainString` without materializing a String
+    * (putString/mightContainString hash exactly these bytes). */
+  def bloomProbe(
+      bf: org.apache.spark.util.sketch.BloomFilter, s: UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
   /** 8-element MinHash signature (hex md5 minima under salts "0|".."7|").
     * The digest streams `<salt digit> '|' <shingle bytes>` — the same byte
     * sequence as md5(h || '|' || s), with one UTF-8 encode per shingle and
@@ -335,6 +371,45 @@ object HashKernels {
       copy(child = c)
   }
 
+  case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      ngrams(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashKernels.ngrams($c, $n);
+        ${ev.isNull} = ${ev.value} == null;""")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Codegen'd Bloom-filter membership test. The filter rides a Spark
+    * broadcast (shipped once per executor, not per task closure) referenced
+    * from the generated code via `addReferenceObj` — this is what a Scala
+    * UDF probe can't do without boxing every row. */
+  case class BloomProbeExpr(
+      child: Expression,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(t: Any): Any =
+      bloomProbe(bf.value, t.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBc", bf,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashKernels.bloomProbe(
+          (org.apache.spark.util.sketch.BloomFilter) $ref.value(), $c);""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class PassjoinIndexExpr(child: Expression, k: Int)
     extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -372,6 +447,25 @@ object HashKernels {
     val name = s"graft_passjoin_probe_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => PassjoinProbeExpr(es.head, k), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  def ngramsCol(spark: SparkSession, c: Column, n: Int): Column = {
+    val name = s"graft_ngrams_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => NgramsExpr(es.head, n), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  def bloomProbeCol(
+      spark: SparkSession,
+      c: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column = {
+    // name is per-registration: each build captures its own broadcast
+    val name = s"graft_bloom_probe_${System.identityHashCode(bf)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => BloomProbeExpr(es.head, bf), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
   }
 

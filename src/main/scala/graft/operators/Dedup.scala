@@ -643,27 +643,27 @@ object Dedup {
         WHERE c.source <> 'src0'
         GROUP BY c.doc_id ORDER BY corpus_id"""),
       build = (s, d) => {
-        val n = 5
-        val toks = split(col("text"), " ")
-        // distinct n-grams per row, built scan-side; grams are distinct on
-        // both sides, so the inner join hits each shared gram exactly once
-        // and count(*) == count(DISTINCT gram)
-        val grams = array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        val docs = Tables.documents(s, d)
-          .filter(size(split(col("text"), " ")) >= n)
-          .select(col("doc_id"), col("source"), explode(grams).as("gram"))
+        import graft.functions.HashKernels
+        // distinct 5-grams per row in ONE codegen'd kernel call off the
+        // scan (the interpreted transform/slice/array_join lambda cost
+        // 2-7 s per pass at sf0.1); null (< 5 tokens) rows drop at the
+        // explode. Grams are distinct on both sides, so the inner join
+        // hits each shared gram exactly once and count(*) ==
+        // count(DISTINCT gram).
+        def docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(HashKernels.ngramsCol(s, col("text"), 5)).as("gram"))
+        // the eval-set gram index is tiny and read three times (bloom
+        // build, broadcast join, and at 100 TB it would be a persisted
+        // table) — materialize it once
         val eval = docs.filter(col("source") === "src0")
-          .select("gram").distinct()
+          .select("gram").distinct().localCheckpoint()
         val bf  = eval.stat.bloomFilter("gram", 1 << 20, 0.01)
         val bfB = s.sparkContext.broadcast(bf)
-        // UDF justified: Spark has no built-in Bloom probe; one hash+bitmap
-        // test per gram, and only a prefilter — exactness comes from the
-        // join behind it
-        val mightHit = udf((g: String) => g != null && bfB.value.mightContain(g))
+        // codegen'd probe (no per-row boxing, broadcast shipped once per
+        // executor); only a prefilter — exactness comes from the join
         docs.filter(col("source") =!= "src0")
-          .filter(mightHit(col("gram")))
+          .filter(HashKernels.bloomProbeCol(s, col("gram"), bfB))
           .join(broadcast(eval), Seq("gram"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared"))
