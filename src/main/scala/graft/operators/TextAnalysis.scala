@@ -289,6 +289,51 @@ object TextAnalysis {
           .select(col("rank"), col("tok"), col("tf"), col("df"),
             round(col("tf") * 1.0 / col("n"), 6).as("freq_share"))
           .orderBy("rank")
+      }),
+
+    // Token-rarity scoring: per-doc corpus-frequency statistics — the
+    // deterministic core of a CCNet-style unigram-LM quality filter (the
+    // -log transform is monotone in these and applied downstream; summing
+    // floats would make the hash depend on aggregation order, so the
+    // per-doc aggregates stay INTEGER until the final division). A doc full
+    // of rare tokens (low mean_tf, high n_rare) reads as noise; a doc of
+    // only stop-level tokens (high mean_tf) reads as boilerplate. Scale
+    // shape: one token-keyed vocab aggregation, then the vocab — zipfian,
+    // so tokenizer-scale corpora keep it broadcastable — joins back without
+    // shuffling the corpus side; one doc-keyed aggregation ends the plan.
+    QueryDef(
+      "t09_token_rarity",
+      covers = "T18 F6 north-star",
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        v AS (SELECT tok, count(*) AS tf FROM w GROUP BY tok),
+        tot AS (SELECT sum(tf) AS n FROM v)
+        SELECT w.doc_id,
+               count(*) AS n_toks,
+               CAST(sum(v.tf) AS BIGINT) AS sum_tf,
+               round(sum(v.tf) * 1.0 / count(*), 6) AS mean_tf,
+               min(v.tf) AS min_tf,
+               CAST(sum(CASE WHEN v.tf * 1000 < (SELECT n FROM tot)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM w JOIN v USING (tok)
+        GROUP BY w.doc_id ORDER BY w.doc_id"""),
+      build = (s, d) => {
+        val w = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        val v = w.groupBy("tok").agg(count(lit(1)).as("tf"))
+        val total = v.agg(sum(col("tf")).as("n"))
+        w.join(broadcast(v), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_toks"),
+            sum(col("tf")).cast("bigint").as("sum_tf"),
+            round(sum(col("tf")) * 1.0 / count(lit(1)), 6).as("mean_tf"),
+            min(col("tf")).as("min_tf"),
+            sum(when(col("tf") * 1000 < col("n"), 1).otherwise(0))
+              .cast("bigint").as("n_rare"))
+          .orderBy("doc_id")
       })
   )
 }

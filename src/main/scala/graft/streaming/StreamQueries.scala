@@ -92,6 +92,37 @@ object StreamQueries {
           unique("q40s"), mode = "append")
           .orderBy("user_id", "click_ts", "buy_ts")),
 
+    // Streaming decontamination gate: the d11 check applied at ingest —
+    // every arriving doc's 5-grams probe the broadcast eval index; flagged
+    // docs emit once (cross-batch dedup state). Bounded-input run ==
+    // d11's contaminated-id set, which the oracle checks.
+    QueryDef(
+      "q41s_stream_decontaminate",
+      covers = "X5 F6 streaming north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(range(1, len(t)-3),
+                       i -> array_to_string(t[i:i+4], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 5),
+        ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        WHERE g.source <> 'src0' ORDER BY doc_id"""),
+      build = (s, d) => {
+        import graft.functions.HashKernels
+        val evalGrams = graft.Tables.documents(s, d)
+          .filter(col("source") === "src0")
+          .select(explode(HashKernels.ngramsCol(s, col("text"), 5)).as("gram"))
+          .distinct()
+        Streams.runToMemory(
+          Streams.decontaminateStream(
+            Streams.documentsStream(s, d).filter(col("source") =!= "src0"),
+            evalGrams),
+          unique("q41s"), mode = "append")
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

@@ -153,6 +153,26 @@ object Streams {
       .select(md5(col("text").cast("binary")).as("h"))
       .dropDuplicates("h")
 
+  /** Ingestion-time decontamination gate (the streaming face of d11): the
+    * document stream explodes its 5-grams row-locally (codegen kernel) and
+    * semi-joins the BROADCAST eval-set gram index per micro-batch; each
+    * contaminated doc is emitted ONCE across batches (same cross-batch
+    * dedup state as [[dedupStream]]). The stream side never shuffles for
+    * the join — at scale the eval index is a persisted broadcast table and
+    * the feed flows through a row-local filter; state is one row per
+    * flagged doc. */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.HashKernels.ngramsCol(s, col("text"), 5))
+          .as("gram"))
+      .join(org.apache.spark.sql.functions.broadcast(evalGrams),
+        Seq("gram"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+  }
+
   /** S3: JSONL append sink via foreachBatch (one line per row, append-only —
     * the decode tail's behavior). Returns the started query. */
   def jsonlSink(

@@ -218,6 +218,33 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontamination gate flags a doc once even if its grams recur") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalGrams = Seq("e1 e2 e3 e4 e5").toDF("gram")
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      input.toDF.toDF("doc_id", "text"), evalGrams)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decon_s").start()
+    try {
+      // doc 1 contains the eval 5-gram, doc 2 doesn't, doc 3 is too short
+      input.addData(
+        (1L, "x e1 e2 e3 e4 e5 y"),
+        (2L, "a b c d e f g"),
+        (3L, "e1 e2 e3"))
+      q.processAllAvailable()
+      assert(spark.table("decon_s").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // the same contaminated doc re-arriving (a replayed feed) must NOT
+      // re-emit; a new contaminated doc must
+      input.addData((1L, "x e1 e2 e3 e4 e5 y"), (4L, "e1 e2 e3 e4 e5"))
+      q.processAllAvailable()
+      val rows = spark.table("decon_s").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 4L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("append mode: a window emits only after the watermark passes its end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
