@@ -21,6 +21,19 @@ object TextAnalysis {
   private val stopArr  = array(stopwords.map(lit): _*)
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** One corpus-vocabulary aggregation (tok, tf, df), shared by t08 and t09
+    * — the same memoized-index pattern as the MinHash signature frame: at
+    * 100 TB the vocabulary is computed once per corpus snapshot and every
+    * frequency-derived score reads it. */
+  private def vocabFrame(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    ResultMemo.materialized("vocab_frame", s, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    }
+
   def defs: Seq[QueryDef] = Seq(
     // Language ID by stopword density — the n-gram-free heuristic the V3
     // crawler cleaner uses (T17); deterministic, hence oracle-checkable.
@@ -271,10 +284,7 @@ object TextAnalysis {
                round(tf * 1.0 / (SELECT n FROM tot), 6) AS freq_share
         FROM ranked WHERE rank <= 100 ORDER BY rank"""),
       build = (s, d) => {
-        val agg = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-          .groupBy("tok")
-          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        val agg = vocabFrame(s, d)
         val top = agg.orderBy(col("tf").desc, col("tok")).limit(100)
         val total = agg.agg(sum(col("tf")).as("n"))
         // rank = 1 + |{survivors strictly before in (tf desc, tok)}| —
@@ -321,7 +331,7 @@ object TextAnalysis {
       build = (s, d) => {
         val w = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        val v = w.groupBy("tok").agg(count(lit(1)).as("tf"))
+        val v = vocabFrame(s, d).select("tok", "tf")
         val total = v.agg(sum(col("tf")).as("n"))
         w.join(broadcast(v), "tok")
           .crossJoin(broadcast(total))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft._
+
+/** Generic per-query profiler: runs any SparkEntry query N times at an sf
+  * dir and prints per-run wall-clock plus per-job and slow-stage timing —
+  * the tool that found d11's interpreted-HOF cost (see ProfileD11 for the
+  * stage-by-stage variant of that investigation).
+  *
+  * Usage: runMain graft.tools.ProfileQuery <query> [sfDir] [runs]
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileQuery <query> [sfDir] [runs]")
+    val name = args(0)
+    val d    = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+
+    val spark = GraftSession.builder("profile-query", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(j.jobId, System.nanoTime())
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.getOrDefault(j.jobId, 0L)
+          val s  = (System.nanoTime() - t0) / 1e9
+          if (s > 0.25) println(f"[prof]   job ${j.jobId}%3d $s%6.2f s")
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val secs = (for {
+            a <- si.completionTime; b <- si.submissionTime
+          } yield (a - b) / 1e3).getOrElse(-1.0)
+          if (secs > 0.5)
+            println(f"[prof]     stage ${si.stageId}%3d $secs%6.2f s " +
+              f"${si.numTasks}%3d tasks")
+        }
+      })
+
+    (1 to runs).foreach { r =>
+      val t0 = System.nanoTime()
+      val n  = fn(spark, d).count()
+      println(f"[prof] $name run $r: ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"($n rows)")
+    }
+    spark.stop()
+  }
+}
