@@ -737,6 +737,57 @@ object Dedup {
           .orderBy("doc_id")
       }),
 
+    // ------------------------------------------------- semantic (embedding) dedup
+    // End-to-end semantic dedup: d05's label-blocked cosine near-dup pairs
+    // grouped into clusters by the same large-star/small-star components as
+    // d09, with the min vec_id as each cluster's representative — the
+    // embedding-space twin of the LSH dedup dataflow (near-dup relations
+    // aren't transitive in cosine space either). Same scale shape: pair
+    // generation is blocked, component rounds shuffle only (src, dst) ids.
+    QueryDef(
+      "d13_semantic_dedup",
+      covers = "X5 north-star",
+      oracle = Some("""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (SELECT id_a, id_b FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE cos >= 0.35),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (SELECT src, src AS dst FROM edges
+                  UNION
+                  SELECT r.src, x.dst FROM reach r
+                  JOIN edges x ON x.src = r.dst),
+        comp AS (SELECT src AS vec_id, min(dst) AS component
+                 FROM reach GROUP BY src)
+        SELECT e.vec_id,
+               coalesce(comp.component, e.vec_id) AS component,
+               CASE WHEN comp.component IS NULL OR comp.component = e.vec_id
+                    THEN 1 ELSE 0 END AS keep
+        FROM e LEFT JOIN comp ON comp.vec_id = e.vec_id
+        ORDER BY e.vec_id"""),
+      build = (s, d) => {
+        val pairs = defs.find(_.name == "d05_embedding_neardup").get.build(s, d)
+        // embeddings already has a `label` column (the block id), so the
+        // component label joins in under a distinct name
+        val comp = connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .select(col("id").as("vec_id"), col("label").as("comp"))
+        Tables.embeddings(s, d)
+          .join(comp, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("component"),
+            when(col("comp").isNull || col("comp") === col("vec_id"), 1)
+              .otherwise(0).as("keep"))
+          .orderBy("vec_id")
+      }),
+
     // ------------------------------------------------- grouped-LLM tree dedup
     // The FULL A9 halving dataflow (TreeDedup.run) end-to-end with the
     // deterministic mock model: hash-grouped claims, per-group dedup, then

@@ -123,6 +123,42 @@ object StreamQueries {
           .orderBy("doc_id")
       }),
 
+    // Streaming signature-index maintenance: every arriving doc's full
+    // 8-hash MinHash signature computes row-locally (the same codegen
+    // kernel d03/d06/d08 share) and appends to the index — at 100 TB the
+    // signature index next to the corpus is MAINTAINED at ingest, never
+    // recomputed; the batch sigFrame is the bootstrap, this is the steady
+    // state. Stateless map stream (pure append), so the bounded run must
+    // equal the batch signature pass, which the oracle checks (signature
+    // compared via md5 of its joined form to keep rows narrow).
+    QueryDef(
+      "d14s_stream_sig_index",
+      covers = "X5 S9 streaming north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh)
+        SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_md5
+        FROM mh ORDER BY doc_id"""),
+      build = (s, d) => {
+        import graft.functions.HashKernels
+        val stream = Streams.documentsStream(s, d)
+          .select(col("doc_id"),
+            HashKernels.minhashSigCol(s, col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+          .select(col("doc_id"),
+            md5(concat_ws(",", col("sig")).cast("binary")).as("sig_md5"))
+        Streams.runToMemory(stream, unique("d14s"), mode = "append")
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",
