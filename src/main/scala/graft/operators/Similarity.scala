@@ -21,6 +21,53 @@ object Similarity {
 
   private val K = 5
 
+  /** Shared CTE chain of the PQ pipeline (codebook → codes → per-query ADC
+    * distance tables → ranked top-k) — interpolated into both s07's and
+    * s08's oracles so the SQL twin exists once. The `scored` CTE sums the
+    * 4 per-subspace terms in the same fixed association order as the Spark
+    * expression, so doubles match bitwise before the 6dp round. */
+  private val pqCtes: String = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                          - 1 AS j, v AS cv
+                 FROM e),
+        c16 AS (SELECT j, cv FROM cent WHERE j < 16),
+        cw AS (SELECT m, j, cv[(m*16+1):(m*16+16)] AS w,
+                      list_dot_product(cv[(m*16+1):(m*16+16)],
+                                       cv[(m*16+1):(m*16+16)]) AS cc
+               FROM c16, unnest([0, 1, 2, 3]) AS u(m)),
+        assign AS (SELECT e.vec_id, cw.m, cw.j,
+                     row_number() OVER (PARTITION BY e.vec_id, cw.m
+                       ORDER BY cw.cc - 2 * list_dot_product(
+                                  e.v[(cw.m*16+1):(cw.m*16+16)], cw.w),
+                                cw.j) AS rn
+                   FROM e, cw),
+        codes AS (SELECT vec_id,
+                    max(CASE WHEN m = 0 THEN j END) AS c0,
+                    max(CASE WHEN m = 1 THEN j END) AS c1,
+                    max(CASE WHEN m = 2 THEN j END) AS c2,
+                    max(CASE WHEN m = 3 THEN j END) AS c3
+                  FROM assign WHERE rn = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        dt AS (SELECT q.qid, cw.m, cw.j,
+                 list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)],
+                                  q.qv[(cw.m*16+1):(cw.m*16+16)])
+                 - 2 * list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)], cw.w)
+                 + cw.cc AS dist
+               FROM q, cw),
+        scored AS (SELECT d0.qid, c.vec_id,
+                     round(((d0.dist + d1.dist) + d2.dist) + d3.dist, 6) AS adist
+                   FROM codes c
+                   JOIN dt d0 ON d0.m = 0 AND d0.j = c.c0
+                   JOIN dt d1 ON d1.qid = d0.qid AND d1.m = 1 AND d1.j = c.c1
+                   JOIN dt d2 ON d2.qid = d0.qid AND d2.m = 2 AND d2.j = c.c2
+                   JOIN dt d3 ON d3.qid = d0.qid AND d3.m = 3 AND d3.j = c.c3
+                   WHERE c.vec_id <> d0.qid),
+        ranked AS (SELECT qid, vec_id, adist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adist, vec_id) AS rn
+                   FROM scored)"""
+
   /** Embedding dimensionality per sf dir, cached — one head-row read. */
   @volatile private var dimsCache: Map[String, Int] = Map.empty
 
@@ -445,49 +492,10 @@ object Similarity {
       "s07_ann_pq_topk",
       covers = "north-star ANN compression (PQ)",
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
-                          - 1 AS j, v AS cv
-                 FROM e),
-        c16 AS (SELECT j, cv FROM cent WHERE j < 16),
-        cw AS (SELECT m, j, cv[(m*16+1):(m*16+16)] AS w,
-                      list_dot_product(cv[(m*16+1):(m*16+16)],
-                                       cv[(m*16+1):(m*16+16)]) AS cc
-               FROM c16, unnest([0, 1, 2, 3]) AS u(m)),
-        assign AS (SELECT e.vec_id, cw.m, cw.j,
-                     row_number() OVER (PARTITION BY e.vec_id, cw.m
-                       ORDER BY cw.cc - 2 * list_dot_product(
-                                  e.v[(cw.m*16+1):(cw.m*16+16)], cw.w),
-                                cw.j) AS rn
-                   FROM e, cw),
-        codes AS (SELECT vec_id,
-                    max(CASE WHEN m = 0 THEN j END) AS c0,
-                    max(CASE WHEN m = 1 THEN j END) AS c1,
-                    max(CASE WHEN m = 2 THEN j END) AS c2,
-                    max(CASE WHEN m = 3 THEN j END) AS c3
-                  FROM assign WHERE rn = 1 GROUP BY vec_id),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-        dt AS (SELECT q.qid, cw.m, cw.j,
-                 list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)],
-                                  q.qv[(cw.m*16+1):(cw.m*16+16)])
-                 - 2 * list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)], cw.w)
-                 + cw.cc AS dist
-               FROM q, cw),
-        scored AS (SELECT d0.qid, c.vec_id,
-                     round(((d0.dist + d1.dist) + d2.dist) + d3.dist, 6) AS adist
-                   FROM codes c
-                   JOIN dt d0 ON d0.m = 0 AND d0.j = c.c0
-                   JOIN dt d1 ON d1.qid = d0.qid AND d1.m = 1 AND d1.j = c.c1
-                   JOIN dt d2 ON d2.qid = d0.qid AND d2.m = 2 AND d2.j = c.c2
-                   JOIN dt d3 ON d3.qid = d0.qid AND d3.m = 3 AND d3.j = c.c3
-                   WHERE c.vec_id <> d0.qid),
-        ranked AS (SELECT qid, vec_id, adist,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY adist, vec_id) AS rn
-                   FROM scored)
+        $pqCtes
         SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
         ORDER BY qid, rn"""),
-      build = (s, d) => {
+      build = (s, d) => materialized("s07_ann_pq_topk", s, d) {
         def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           ArrayMath.dot(s, a, b)
         val dims = dimsOf(s, d)
@@ -542,7 +550,43 @@ object Similarity {
           .filter(col("rn") <= K)
           .select("qid", "rn", "vec_id", "adist")
           .orderBy("qid", "rn")
-      })
+      }),
+
+    // PQ recall: the same metric s03/s05 report for LSH/IVF, over the
+    // 64×-compressed code path — the per-query number that makes PQ's
+    // accuracy/compression trade visible and regression-checked. With the
+    // hash-SAMPLED 16-codeword codebook recall sits near 0.0-0.2 on these
+    // weakly-clustered synthetic vectors — that low number IS the
+    // information: a production index trains each subspace codebook with
+    // k-means (`lloydRefine` per subvector slice is exactly that), trading
+    // the SQL twin for accuracy, the same documented split as s04's
+    // quantizer.
+    QueryDef(
+      "s08_ann_recall_pq",
+      covers = "north-star ANN eval",
+      oracle = Some(s"""
+        $pqCtes,
+        pk AS (SELECT qid, vec_id FROM ranked WHERE rn <= $K),
+        exact AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+                   b.vec_id) AS rn
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10),
+        ek AS (SELECT qid, cid FROM exact WHERE rn <= $K),
+        hits AS (SELECT ek.qid, count(*) AS n_hits
+                 FROM ek JOIN pk ON pk.qid = ek.qid AND pk.vec_id = ek.cid
+                 GROUP BY ek.qid),
+        kk AS (SELECT qid, count(*) AS k FROM ek GROUP BY qid)
+        SELECT kk.qid AS qid, 'pq' AS method,
+               round(coalesce(hits.n_hits, 0) * 1.0 / kk.k, 4) AS recall
+        FROM kk LEFT JOIN hits ON hits.qid = kk.qid
+        ORDER BY kk.qid, method"""),
+      build = (s, d) =>
+        recallOf(s, d, "s07_ann_pq_topk", "pq").orderBy("qid", "method"))
   )
 
   /** IVF coarse centroids: the k corpus vectors with the smallest
