@@ -21,12 +21,10 @@ object Similarity {
 
   private val K = 5
 
-  /** Shared CTE chain of the PQ pipeline (codebook → codes → per-query ADC
-    * distance tables → ranked top-k) — interpolated into both s07's and
-    * s08's oracles so the SQL twin exists once. The `scored` CTE sums the
-    * 4 per-subspace terms in the same fixed association order as the Spark
-    * expression, so doubles match bitwise before the 6dp round. */
-  private val pqCtes: String = """
+  /** Shared CTE chain of the PQ pipeline up to the per-query ADC distance
+    * tables (codebook → codes → dt) — interpolated into the s07/s08/s09
+    * oracles so the SQL twin exists once. */
+  private val pqBase: String = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                           - 1 AS j, v AS cv
@@ -54,7 +52,13 @@ object Similarity {
                                   q.qv[(cw.m*16+1):(cw.m*16+16)])
                  - 2 * list_dot_product(q.qv[(cw.m*16+1):(cw.m*16+16)], cw.w)
                  + cw.cc AS dist
-               FROM q, cw),
+               FROM q, cw)"""
+
+  /** Exhaustive ADC scoring + ranking over `codes`/`dt` (s07/s08). The
+    * `scored` CTE sums the 4 per-subspace terms in the same fixed
+    * association order as the Spark expression, so doubles match bitwise
+    * before the 6dp round. */
+  private val pqRank: String = """
         scored AS (SELECT d0.qid, c.vec_id,
                      round(((d0.dist + d1.dist) + d2.dist) + d3.dist, 6) AS adist
                    FROM codes c
@@ -67,6 +71,54 @@ object Similarity {
                      row_number() OVER (PARTITION BY qid
                                         ORDER BY adist, vec_id) AS rn
                    FROM scored)"""
+
+  private val pqCtes: String = s"$pqBase,\n$pqRank"
+
+  /** PQ column builders shared by s07 and s09: per-subspace corpus code
+    * (argmin over 16 codewords in one codegen pass — the same struct-min
+    * trick as s04's cell assignment) and per-query ADC distance table
+    * (dt_m[j] = |q_m|² − 2⟨q_m, w_mj⟩ + |w_mj|², built once scan-side).
+    * Codeword norms fold left-to-right driver-side (bit-identical to
+    * list_dot_product). */
+  private def pqCols(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (Int => org.apache.spark.sql.Column,
+                   Int => org.apache.spark.sql.Column) = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ArrayMath.dot(s, a, b)
+    val dims = dimsOf(s, d)
+    val M = 4
+    require(dims % M == 0, s"PQ needs dims divisible by $M, got $dims")
+    val ds = dims / M
+    val cw: Seq[Seq[(Seq[Double], Double)]] = (0 until M).map { m =>
+      coarseCentroids(s, d, 16).map { case (_, c, _) =>
+        val w = c.slice(m * ds, (m + 1) * ds)
+        var cc = 0.0
+        w.foreach(x => cc += x * x)
+        (w, cc)
+      }
+    }
+    def sub(v: org.apache.spark.sql.Column, m: Int) = slice(v, m * ds + 1, ds)
+    val codeCol = (m: Int) => array_min(array(
+      cw(m).zipWithIndex.map { case ((w, cc), j) =>
+        struct((lit(cc) - lit(2.0) *
+          dot(sub(col("embedding"), m), typedlit(w))).as("dist"),
+          lit(j).as("j"))
+      }: _*)).getField("j")
+    val dtabCol = (m: Int) => array(cw(m).map { case (w, cc) =>
+      dot(sub(col("qv"), m), sub(col("qv"), m)) -
+        lit(2.0) * dot(sub(col("qv"), m), typedlit(w)) + lit(cc)
+    }: _*)
+    (codeCol, dtabCol)
+  }
+
+  /** ADC candidate cost: 4 table lookups + 3 adds, summed in the oracle's
+    * association order, rounded at 6dp before ranking. */
+  private def pqAdist: org.apache.spark.sql.Column = round(
+    ((element_at(col("dt0"), col("code0") + 1) +
+      element_at(col("dt1"), col("code1") + 1)) +
+      element_at(col("dt2"), col("code2") + 1)) +
+      element_at(col("dt3"), col("code3") + 1), 6)
 
   /** Embedding dimensionality per sf dir, cached — one head-row read. */
   @volatile private var dimsCache: Map[String, Int] = Map.empty
@@ -496,56 +548,17 @@ object Similarity {
         SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
         ORDER BY qid, rn"""),
       build = (s, d) => materialized("s07_ann_pq_topk", s, d) {
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          ArrayMath.dot(s, a, b)
-        val dims = dimsOf(s, d)
-        val M = 4
-        require(dims % M == 0, s"PQ needs dims divisible by $M, got $dims")
-        val ds = dims / M
-        // codebook: codeword (m, j) = subspace-m slice of sampled vector j,
-        // with |w|² folded left-to-right driver-side (bit-identical to
-        // list_dot_product)
-        val cw: Seq[Seq[(Seq[Double], Double)]] = (0 until M).map { m =>
-          coarseCentroids(s, d, 16).map { case (_, c, _) =>
-            val w = c.slice(m * ds, (m + 1) * ds)
-            var cc = 0.0
-            w.foreach(x => cc += x * x)
-            (w, cc)
-          }
-        }
-        def sub(v: org.apache.spark.sql.Column, m: Int) =
-          slice(v, m * ds + 1, ds)
-        // encode: per subspace, argmin over 16 codewords in one codegen
-        // pass (same struct-min trick as s04's cell assignment)
-        def codeCol(m: Int) = array_min(array(
-          cw(m).zipWithIndex.map { case ((w, cc), j) =>
-            struct((lit(cc) - lit(2.0) *
-              dot(sub(col("embedding"), m), typedlit(w))).as("dist"),
-              lit(j).as("j"))
-          }: _*)).getField("j")
+        val (codeCol, dtabCol) = pqCols(s, d)
         val e = Tables.embeddings(s, d)
         val corpus = e.select(
-          col("vec_id") +: (0 until M).map(m => codeCol(m).as(s"code$m")): _*)
-        // ADC distance tables, built once per query row scan-side:
-        // dt_m[j] = |q_m|² − 2⟨q_m, w_mj⟩ + |w_mj|²
-        def dtabCol(m: Int) = array(cw(m).map { case (w, cc) =>
-          dot(sub(col("qv"), m), sub(col("qv"), m)) -
-            lit(2.0) * dot(sub(col("qv"), m), typedlit(w)) + lit(cc)
-        }: _*)
+          col("vec_id") +: (0 until 4).map(m => codeCol(m).as(s"code$m")): _*)
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .select(col("qid") +: (0 until M).map(m => dtabCol(m).as(s"dt$m")): _*)
-        // candidate cost: 4 lookups + 3 adds, summed in the oracle's
-        // association order
-        val adist = round(
-          ((element_at(col("dt0"), col("code0") + 1) +
-            element_at(col("dt1"), col("code1") + 1)) +
-            element_at(col("dt2"), col("code2") + 1)) +
-            element_at(col("dt3"), col("code3") + 1), 6)
+          .select(col("qid") +: (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
         val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
         corpus.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), adist.as("adist"))
+          .select(col("qid"), col("vec_id"), pqAdist.as("adist"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= K)
           .select("qid", "rn", "vec_id", "adist")
@@ -586,7 +599,77 @@ object Similarity {
         FROM kk LEFT JOIN hits ON hits.qid = kk.qid
         ORDER BY kk.qid, method"""),
       build = (s, d) =>
-        recallOf(s, d, "s07_ann_pq_topk", "pq").orderBy("qid", "method"))
+        recallOf(s, d, "s07_ann_pq_topk", "pq").orderBy("qid", "method")),
+
+    // The composed FAISS IVFPQ shape: the coarse quantizer bounds the
+    // candidate set (s04's cells, nprobe=2) and PQ codes score the
+    // survivors (s07's ADC tables) — at 100 TB the corpus partitions by
+    // cell, a query touches nprobe/16 of the data, and each candidate
+    // costs 4 one-byte code lookups instead of a 64-dim dot. Cells and
+    // codebook share the one sampled quantizer, so the entire composed
+    // index is hash-checked against DuckDB.
+    QueryDef(
+      "s09_ann_ivfpq_topk",
+      covers = "north-star ANN scale path (IVF+PQ)",
+      oracle = Some(s"""
+        $pqBase,
+        cellassign AS (SELECT e.vec_id, c16.j AS cell,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(c16.cv, c16.cv)
+                                    - 2 * list_dot_product(e.v, c16.cv),
+                                    c16.j) AS crn
+                       FROM e, c16),
+        cellof AS (SELECT vec_id, cell FROM cellassign WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, cell FROM cellassign
+                  WHERE vec_id < 10 AND crn <= 2),
+        scored AS (SELECT p.qid, c.vec_id,
+                     round(((d0.dist + d1.dist) + d2.dist) + d3.dist, 6) AS adist
+                   FROM codes c
+                   JOIN cellof co ON co.vec_id = c.vec_id
+                   JOIN probe p ON p.cell = co.cell
+                   JOIN dt d0 ON d0.qid = p.qid AND d0.m = 0 AND d0.j = c.c0
+                   JOIN dt d1 ON d1.qid = p.qid AND d1.m = 1 AND d1.j = c.c1
+                   JOIN dt d2 ON d2.qid = p.qid AND d2.m = 2 AND d2.j = c.c2
+                   JOIN dt d3 ON d3.qid = p.qid AND d3.m = 3 AND d3.j = c.c3
+                   WHERE c.vec_id <> p.qid),
+        ranked AS (SELECT qid, vec_id, adist,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY adist, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
+        ORDER BY qid, rn"""),
+      build = (s, d) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
+        val (codeCol, dtabCol) = pqCols(s, d)
+        val cents = coarseCentroids(s, d, 16)
+        def distStructs = cents.map { case (cell, c, cc) =>
+          struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(c)))
+            .as("dist"), lit(cell).as("cell"))
+        }
+        val e = Tables.embeddings(s, d)
+        // corpus rows: cell id + 4 PQ codes — 5 small ints per vector; the
+        // embedding itself never leaves the scan
+        val corpus = e.select(
+          (Seq(col("vec_id"),
+            array_min(array(distStructs: _*)).getField("cell").as("cell")) ++
+            (0 until 4).map(m => codeCol(m).as(s"code$m"))): _*)
+        // queries: nprobe=2 nearest cells + ADC tables, built scan-side
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            explode(slice(array_sort(array(distStructs: _*)), 1, 2)
+              .getField("cell")).as("cell"))
+          .select(col("qid") +: col("cell") +:
+            (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        corpus.join(broadcast(queries), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), pqAdist.as("adist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "adist")
+          .orderBy("qid", "rn")
+      })
   )
 
   /** IVF coarse centroids: the k corpus vectors with the smallest
