@@ -177,6 +177,47 @@ object Mix {
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
           .orderBy("source", "shard")
+      }),
+
+    // Epoch-deterministic loader ordering: each epoch assigns every doc to
+    // one of 8 readers and a position within that reader — a fresh global
+    // permutation per epoch with NO global sort: reader assignment and
+    // order keys are md5 hashes of (epoch, doc_id), so the only exchange
+    // is the (epoch, reader)-keyed window. At scale readers map to loader
+    // workers, each consuming its own hash-ordered shard; re-running an
+    // epoch reproduces its exact order (the property that makes training
+    // runs resumable and elastic).
+    QueryDef(
+      "x05_epoch_order",
+      covers = "W6 W8 mix north-star",
+      oracle = Some("""
+        WITH e AS (SELECT doc_id, u.epoch FROM documents,
+                   unnest([0, 1]) AS u(epoch)),
+        k AS (SELECT epoch, doc_id,
+                CAST(('0x' || substr(md5('r|' || epoch::VARCHAR || '|' ||
+                        doc_id::VARCHAR), 1, 8))::UBIGINT % 8 AS INT) AS reader,
+                md5('o|' || epoch::VARCHAR || '|' || doc_id::VARCHAR) AS ok
+              FROM e)
+        SELECT epoch, reader,
+               row_number() OVER (PARTITION BY epoch, reader
+                                  ORDER BY ok, doc_id) AS seq,
+               doc_id
+        FROM k ORDER BY epoch, reader, seq"""),
+      build = (s, d) => {
+        def key(tag: String) = md5(concat_ws("|", lit(tag),
+          col("epoch").cast("string"), col("doc_id").cast("string"))
+          .cast("binary"))
+        val k = Tables.documents(s, d)
+          .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+          .select(col("epoch"), col("doc_id"),
+            (conv(substring(key("r"), 1, 8), 16, 10).cast("long") % 8)
+              .cast("int").as("reader"),
+            key("o").as("ok"))
+        val w = Window.partitionBy("epoch", "reader")
+          .orderBy(col("ok"), col("doc_id"))
+        k.select(col("epoch"), col("reader"),
+            row_number().over(w).as("seq"), col("doc_id"))
+          .orderBy("epoch", "reader", "seq")
       })
   )
 }

@@ -29,6 +29,47 @@ class HashKernelsSpec extends SparkTestBase {
     assert(HashKernels.shingles(UTF8String.fromString("")) == null)
   }
 
+  test("ngrams == the interpreted transform/slice/array_join formulation " +
+    "(200 random word bags)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "fff", "g")
+    (1 to 200).foreach { _ =>
+      val n = 2 + rnd.nextInt(5)
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val got = HashKernels.ngrams(UTF8String.fromString(text), n)
+      // the reference formulation d11 originally used (see oracle SQL):
+      // distinct n-token windows in first-occurrence order
+      val split = text.split(" ", -1)
+      if (split.length < n) assert(got == null, s"'$text' n=$n")
+      else {
+        val want = split.sliding(n).map(_.mkString(" ")).toSeq.distinct
+        assert(got.numElements() == want.length, s"'$text' n=$n")
+        (0 until got.numElements()).foreach(i =>
+          assert(got.getUTF8String(i).toString == want(i), s"'$text' n=$n i=$i"))
+      }
+    }
+  }
+
+  test("bloom probe: no false negatives, and codegen matches interpreted") {
+    import spark.implicits._
+    val grams = (1 to 500).map(i => s"gram_$i")
+    val bf = grams.toDF("g").stat.bloomFilter("g", 1 << 16, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    // a Bloom filter may say yes wrongly, never no wrongly
+    grams.foreach(g =>
+      assert(HashKernels.bloomProbe(bf, UTF8String.fromString(g)),
+        s"false negative on $g"))
+    // the expression path (codegen'd in a filter) agrees with the direct call
+    val probed = (1 to 1000).map(i => s"gram_$i").toDF("g")
+      .filter(HashKernels.bloomProbeCol(spark, col("g"), bfB))
+      .collect().map(_.getString(0)).toSet
+    val direct = (1 to 1000).map(i => s"gram_$i")
+      .filter(g => HashKernels.bloomProbe(bf, UTF8String.fromString(g))).toSet
+    assert(probed == direct)
+    assert(grams.toSet.subsetOf(probed))
+  }
+
   test("minhashSig == naive salted-md5 minima") {
     docs.take(3).foreach { doc =>
       val sig = HashKernels.minhashSig(UTF8String.fromString(doc))
