@@ -48,7 +48,28 @@ object Lake {
     * Bench calls this in session setup so q35 times the co-located JOIN —
     * the lake's steady state — not the one-time layout write, which ranged
     * 2-5 s run-to-run and drowned the signal it was meant to carry. */
-  def warmLayout(s: SparkSession, d: String): Unit = { ensureTables(s, d); () }
+  def warmLayout(s: SparkSession, d: String): Unit = {
+    ensureTables(s, d)
+    ensureZOrder(s, d)
+    ()
+  }
+
+  private val zReady =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** Z-ordered (user_id, value) projection of `events`, written once per
+    * (session, dir) — the OPTIMIZE ZORDER pass a lake runs offline so that
+    * 2-D range scans prune files (LakeLayoutSpec measures the skipping).
+    * Deterministic data → safe to overwrite the same path each session. */
+  private def ensureZOrder(s: SparkSession, d: String): String =
+    zReady.getOrElseUpdate((System.identityHashCode(s), d), {
+      val tag = (d.hashCode & Int.MaxValue).toString
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
+      LakeLayout.writeZOrdered(
+        Tables.events(s, d).select("user_id", "value", "event_id"),
+        out, "user_id", "value", files = 16)
+      out
+    })
 
   def defs: Seq[QueryDef] = Seq(
     // --------------------------------------------------------------- Q35
@@ -71,6 +92,28 @@ object Lake {
           .select(col("doc_id"), length(col("text")).as("text_len"),
             size(col("embedding")).as("dims"), col("label"))
           .orderBy("doc_id")
+      }),
+
+    // --------------------------------------------------------------- Q42
+    // 2-D rectangle scan over the z-ordered events projection: the layout
+    // concentrates the rectangle's rows in a few files, so the scan reads
+    // a rectangle, not the table (file skipping measured in
+    // LakeLayoutSpec). The oracle is the plain filter over raw events —
+    // layout must never change results, only which files a scan touches.
+    QueryDef(
+      "q42_zorder_scan",
+      covers = "S9 scale-layout north-star",
+      oracle = Some("""
+        SELECT event_id FROM events
+        WHERE user_id BETWEEN 0 AND 3 AND value BETWEEN 10 AND 100
+        ORDER BY event_id"""),
+      build = (s, d) => {
+        val path = ensureZOrder(s, d)
+        s.read.parquet(path)
+          .filter(col("user_id").between(0, 3) &&
+            col("value").between(10, 100))
+          .select("event_id")
+          .orderBy("event_id")
       })
   )
 }

@@ -9,6 +9,38 @@ class LakeLayoutSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("z-ordered layout localizes a 2-D rectangle filter to fewer files") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), col("event_id"))
+    val zPath = "/tmp/graft-test-zorder"
+    val basePath = "/tmp/graft-test-zorder-base"
+    // baseline: the same rows round-robined across the same file count —
+    // every file spans the full value space
+    events.repartition(16)
+      .write.mode("overwrite").parquet(basePath)
+    LakeLayout.writeZOrdered(events, zPath, "user_id", "value", files = 16)
+    // a rectangle covering ~1/4 of each dimension
+    val stats = events.agg(
+      min("user_id"), max("user_id"), min("value"), max("value")).head()
+    val (uLo, uHi) = (stats.getLong(0), stats.getLong(1))
+    val (vLo, vHi) = (stats.getDouble(2), stats.getDouble(3))
+    val pred =
+      col("user_id").between(uLo, uLo + (uHi - uLo) / 4) &&
+        col("value").between(vLo, vLo + (vHi - vLo) / 4)
+    // correctness: both layouts return the same rows
+    val zRows = spark.read.parquet(zPath).filter(pred)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val bRows = spark.read.parquet(basePath).filter(pred)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(zRows == bRows && zRows.nonEmpty)
+    // skipping: the rectangle's rows concentrate in a fraction of the
+    // z-ordered files, but spread across (almost) all round-robin files
+    val zTouched = LakeLayout.filesTouched(spark, zPath, pred)
+    val bTouched = LakeLayout.filesTouched(spark, basePath, pred)
+    assert(zTouched * 2 <= bTouched,
+      s"z-order should at least halve files touched: z=$zTouched base=$bTouched")
+  }
+
   test("join of co-bucketed tables plans without Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
