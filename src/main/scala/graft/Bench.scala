@@ -71,13 +71,23 @@ object Bench {
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 
+    // SPARK_GRAFT_BENCH_REPS > 1 reports each query's best-of-N — for LOCAL
+    // measurement on this noisy shared container (same-code totals ranged
+    // 84-214 s); the driver's default stays a single honest run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = listener.bytes.get()
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      val sec = (System.nanoTime() - t0) / 1e9
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      val sec = best
       // release per-query state between queries: localCheckpoint blocks are
       // only reaped by the ContextCleaner after their DataFrames are GC'd —
       // without this, block-manager growth inflates late queries' times
