@@ -93,4 +93,27 @@ object LakeLayout {
   def filesTouched(spark: SparkSession, path: String, predicate: Column): Long =
     spark.read.parquet(path).filter(predicate)
       .select(input_file_name()).distinct().count()
+
+  /** Compaction pass — the small-files fix: rewrite a directory of many
+    * tiny parquet files into `targetFiles` full-size ones. Streaming sinks
+    * and fine-grained partition writes accumulate footer-dominated files
+    * whose open/plan cost swamps the read at scan time; one round-robin
+    * rewrite restores bounded file counts. Writes to a NEW path (never in
+    * place over files being read) and returns (filesBefore, filesAfter). */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFiles: Int): (Long, Long) = {
+    def parquetFiles(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = parquetFiles(inPath)
+    spark.read.parquet(inPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (before, parquetFiles(outPath))
+  }
 }

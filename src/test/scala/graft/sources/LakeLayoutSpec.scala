@@ -41,6 +41,23 @@ class LakeLayoutSpec extends SparkTestBase {
       s"z-order should at least halve files touched: z=$zTouched base=$bTouched")
   }
 
+  test("compaction rewrites many tiny files into few, content-identical") {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val tiny = "/tmp/graft-test-compact-in"
+    val out  = "/tmp/graft-test-compact-out"
+    events.repartition(64).write.mode("overwrite").parquet(tiny)
+    val (before, after) = LakeLayout.compact(spark, tiny, out, targetFiles = 4)
+    assert(before >= 32, s"fixture should start fragmented, had $before files")
+    assert(after <= 4, s"compaction must hit the target, wrote $after files")
+    // content is a multiset-identical rewrite
+    val a = spark.read.parquet(tiny).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("join of co-bucketed tables plans without Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
