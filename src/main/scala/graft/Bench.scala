@@ -82,9 +82,12 @@ object Bench {
       var r = 0
       while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // fold elapsed into best only on success — a fast failure must not
+        // masquerade as a fast run next to its error entry
+        try {
+          fn(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
         r += 1
       }
       val sec = best
@@ -105,9 +108,22 @@ object Bench {
     val shPath = java.nio.file.Paths.get("target/bench_shuffle_mb.json")
     java.nio.file.Files.createDirectories(shPath.getParent)
     java.nio.file.Files.write(shPath, sh.getBytes("UTF-8"))
+    val times = results.map { case (k, v, _, e) =>
+      "\"" + k + "\":" + (if (e.isEmpty) f"$v%.3f" else "\"" + e.get + "\"")
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_times.json"), times.getBytes("UTF-8"))
     val ok   = results.filter(_._4.isEmpty)
-    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-    val qs = ok.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // Key the stdout map by each query's unique id prefix ("d01", "q15b",
+    // "q26s", ...): the driver captures only the LAST ~2 KB of stdout, and
+    // at 92 queries full names pushed the line past that window — round 4's
+    // bench line printed fine but arrived truncated, so it never parsed.
+    // The full-name map (with shuffle MB) lives in target/bench_*.json.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "query id prefixes must stay unique — bench stdout map is keyed by them")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + short(k) + "\":\"" + e + "\"" }
+    val qs = ok.map { case (k, v, _, _) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val errPart =

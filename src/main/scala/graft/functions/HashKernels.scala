@@ -457,13 +457,18 @@ object HashKernels {
     org.apache.spark.sql.functions.call_function(name, c)
   }
 
+  private val bloomProbeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def bloomProbeCol(
       spark: SparkSession,
       c: Column,
       bf: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column = {
-    // name is per-registration: each build captures its own broadcast
-    val name = s"graft_bloom_probe_${System.identityHashCode(bf)}"
+    // name is per-registration: each build captures its own broadcast. A
+    // process-wide counter guarantees uniqueness — identityHashCode could
+    // collide across two live Broadcasts and silently rebind the lazily
+    // analyzed plan to the wrong filter (false negatives downstream).
+    val name = s"graft_bloom_probe_${bloomProbeSeq.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => BloomProbeExpr(es.head, bf), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)

@@ -63,7 +63,9 @@ object Lake {
     * Deterministic data → safe to overwrite the same path each session. */
   private def ensureZOrder(s: SparkSession, d: String): String =
     zReady.getOrElseUpdate((System.identityHashCode(s), d), {
-      val tag = (d.hashCode & Int.MaxValue).toString
+      // collision-resistant path tag: two sf dirs with colliding
+      // String.hashCode must not overwrite each other's projection
+      val tag = org.apache.commons.codec.digest.DigestUtils.md5Hex(d)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$tag"
       LakeLayout.writeZOrdered(
         Tables.events(s, d).select("user_id", "value", "event_id"),

@@ -53,6 +53,8 @@ object LakeLayout {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zKey: input has no non-null ($colA, $colB) rows — cannot derive span")
     val buckets = (1 << bits) - 1
     def bucketOf(c: String, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, Double.MinPositiveValue)
@@ -105,10 +107,19 @@ object LakeLayout {
       inPath: String,
       outPath: String,
       targetFiles: Int): (Long, Long) = {
+    require(inPath != outPath,
+      "compact: outPath must differ from inPath — never rewrite in place " +
+        "over files being read")
     def parquetFiles(p: String): Long = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+      // recursive: partitioned layouts nest files under partition dirs
+      val it = fs.listFiles(hp, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
     }
     val before = parquetFiles(inPath)
     spark.read.parquet(inPath)
