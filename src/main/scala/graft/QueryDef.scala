@@ -26,6 +26,7 @@ object QueryDef {
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Mix.defs ++
+      operators.Sketches.defs ++
       operators.Similarity.defs ++
       operators.Lake.defs ++
       operators.Multimodal.defs ++

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches — the DataSketches-shaped operators a 100 TB
+  * profiler runs instead of exact aggregation when the answer only needs to
+  * be approximately right but must come from ONE pass:
+  *
+  *   - an equi-width histogram quantile sketch (q43 + streaming twin q43s):
+  *     the sketch state is an integer vector of bucket counts, so merging
+  *     partial sketches is commutative integer addition — safe across
+  *     partitions, micro-batches and engines (no float-summation-order
+  *     hazard), which is what makes it oracle-checkable at all;
+  *   - a count-min sketch for heavy hitters (q44): d×w integer counters,
+  *     same merge-by-addition property, with the classic one-sided error
+  *     (estimate ≥ true count — spec-pinned).
+  *
+  * Both stand in for the reference's monitor/statistics surface
+  * (/root/reference/LLMxMapReduce_V2/src/async_d/monitor.py — counts only)
+  * at the scale where exact per-key state no longer fits: the sketch is the
+  * thing you CAN keep per executor and OR together at the end.
+  *
+  * Scale shape: one scan of the base table, a groupBy on a key space that is
+  * CONSTANT-bounded (256 buckets; 3×512 counters) with map-side partial
+  * aggregation, so the shuffle moves at most `buckets` rows per partition
+  * regardless of input size. Quantile extraction then works on ≤256 rows via
+  * a broadcast pair-count (house rule: never an unpartitioned window).
+  */
+object Sketches {
+
+  val HistBuckets = 256
+  private val CmsDepth  = 3
+  private val CmsWidth  = 512
+
+  /** Bucket id for `value` on the fixed [lo, hi] grid — the arithmetic is
+    * mirrored EXACTLY (association order included) in the DuckDB oracles:
+    * least(255, greatest(0, floor((value - lo) / (hi - lo) * 256))). */
+  private def bucketCol(value: Column, lo: Column, hi: Column): Column =
+    least(lit(HistBuckets - 1L), greatest(lit(0L),
+      floor((value - lo) / (hi - lo) * HistBuckets))).cast("long")
+
+  /** The histogram sketch of events.value: ≤256 (bucket, cnt) rows. Bounds
+    * ride a broadcast 1-row aggregate — no driver collect in the query path. */
+  private[operators] def eventHistogram(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(bucketCol(col("value"), col("lo"), col("hi")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS row hash: md5-derived so DuckDB computes the identical bucket
+    * (same trick as Mix's epoch keys — xxhash64 has no DuckDB twin). */
+  private def cmsBucket(j: Column, tok: Column): Column =
+    conv(substring(md5(concat(lit("cms"), j.cast("string"), lit("|"), tok)),
+      1, 8), 16, 10).cast("long") % CmsWidth
+
+  /** Explode one token row into its (j, bucket) coordinates, one per CMS
+    * row — a constant ×3 fan-out of 16-byte pairs, not of the text. */
+  private def cmsCoords(tok: Column): Column =
+    explode(array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(lit(j), tok).as("bucket"))): _*))
+
+  /** The count-min sketch of the token stream: ≤ d×w integer counters. */
+  private[operators] def cmsSketch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select(cmsCoords(col("tok")).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** CMS point-estimate for each row of `cand` (tok column): min over the
+    * depth rows of the bucket counters the token hashes into. */
+  private[operators] def cmsEstimate(cand: DataFrame, sk: DataFrame): DataFrame =
+    cand
+      .withColumn("jb", cmsCoords(col("tok")))
+      .withColumn("j", col("jb.j"))
+      .withColumn("bucket", col("jb.bucket"))
+      .drop("jb")
+      .join(broadcast(sk), Seq("j", "bucket"))
+      .groupBy(cand.columns.map(col): _*)
+      .agg(min(col("cnt")).cast("long").as("est"))
+
+  /** KMV (k-minimum-values) distinct-count sketch state per group: the k
+    * smallest md5-derived 60-bit hashes of the distinct keys. Mergeable —
+    * the union's sketch is the k smallest of the sketches' union (spec'd).
+    * Scale shape: dedupe (group, h) with a partial-agg groupBy, then a
+    * SALTED two-level top-k so the per-group rank window never sees more
+    * than salts×k pre-pruned rows — each salt keeps its own k smallest,
+    * and the global k smallest is a subset of that union. No reducer ever
+    * ranks a group's full distinct-hash set. */
+  private[operators] val KmvK = 64
+  private val KmvSalts = 32
+
+  private[operators] def kmvHash(key: Column): Column =
+    conv(substring(md5(concat(lit("kmv|"), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  private[operators] def kmvSketch(
+      keyed: DataFrame /* (prio, h) */): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dh = keyed.distinct()
+    val pre = dh
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("prio"), pmod(col("h"), lit(KmvSalts)))
+          .orderBy("h")))
+      .filter(col("rk1") <= KmvK).drop("rk1")
+    pre.withColumn("rk", row_number().over(
+        Window.partitionBy("prio").orderBy("h")))
+      .filter(col("rk") <= KmvK)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Quantile estimation FROM the histogram sketch: rank targets are pure
+    // integer arithmetic (ceil(n·pct/100) = (n·pct + 99) div 100 — no float
+    // rank, so both engines land on the same bucket), and the answer
+    // interpolates inside the one bucket whose cumulative range covers the
+    // target. Cumulative counts come from a 256×256 broadcast pair-count.
+    QueryDef(
+      "q43_quantile_sketch",
+      covers = "A7 Q31 D9 north-star",
+      oracle = Some("""
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        b AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+        h AS (SELECT least(255, greatest(0,
+                       CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT)))
+                       AS bucket,
+                     count(*) AS cnt
+              FROM v, b GROUP BY bucket),
+        c AS (SELECT h.bucket, h.cnt, CAST(sum(h2.cnt) AS BIGINT) AS cum
+              FROM h JOIN h h2 ON h2.bucket <= h.bucket
+              GROUP BY h.bucket, h.cnt),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        q AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) t(pct)),
+        tr AS (SELECT q.pct, CAST((n.n * q.pct + 99) // 100 AS BIGINT)
+                       AS target_rank
+               FROM q, n)
+        SELECT tr.pct, tr.target_rank, c.bucket,
+               round(b.lo + (c.bucket +
+                       (tr.target_rank - (c.cum - c.cnt)) * 1.0 / c.cnt)
+                     * ((b.hi - b.lo) / 256), 6) AS est
+        FROM tr, c, b
+        WHERE tr.target_rank > c.cum - c.cnt AND tr.target_rank <= c.cum
+        ORDER BY tr.pct"""),
+      build = (s, d) => {
+        import s.implicits._
+        val hist = eventHistogram(s, d)
+        val ev = Tables.events(s, d).select(col("value"))
+          .filter(col("value").isNotNull)
+        val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val h2 = hist.select(col("bucket").as("b2"), col("cnt").as("cnt2"))
+        val cum = hist.join(broadcast(h2), col("b2") <= col("bucket"))
+          .groupBy("bucket", "cnt")
+          .agg(sum(col("cnt2")).cast("long").as("cum"))
+        val n = hist.agg(sum(col("cnt")).cast("long").as("n"))
+        val targets = Seq(25, 50, 75, 90, 99).toDF("pct")
+          .crossJoin(broadcast(n))
+          .select(col("pct"),
+            expr("CAST((n * pct + 99) div 100 AS BIGINT)").as("target_rank"))
+        targets
+          .join(broadcast(cum),
+            col("target_rank") > col("cum") - col("cnt") &&
+              col("target_rank") <= col("cum"))
+          .crossJoin(broadcast(bounds))
+          .select(col("pct"), col("target_rank"), col("bucket"),
+            round(col("lo") + (col("bucket") +
+                (col("target_rank") - (col("cum") - col("cnt"))) * lit(1.0)
+                  / col("cnt"))
+              * ((col("hi") - col("lo")) / HistBuckets), 6).as("est"))
+          .orderBy("pct")
+      }),
+
+    // Heavy hitters through the count-min sketch: the sketch answers "how
+    // often did I see tok?" with guaranteed est ≥ tf. The output reports
+    // the exact top-50 tokens (vocab frame) next to their CMS estimates and
+    // the one-sided overcount — the accuracy surface a profiler monitors.
+    QueryDef(
+      "q44_heavy_hitters_cms",
+      covers = "T11 W1 D9 north-star",
+      oracle = Some("""
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        r AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
+        wb AS (SELECT j, ('0x' || substr(md5('cms' || j::VARCHAR || '|' || tok),
+                         1, 8))::BIGINT % 512 AS bucket
+               FROM w, r),
+        sk AS (SELECT j, bucket, count(*) AS cnt FROM wb GROUP BY j, bucket),
+        v AS (SELECT tok, count(*) AS tf FROM w GROUP BY tok),
+        cand AS (SELECT tok, tf FROM v ORDER BY tf DESC, tok LIMIT 50),
+        cb AS (SELECT c.tok, c.tf, r.j,
+                      ('0x' || substr(md5('cms' || r.j::VARCHAR || '|' || c.tok),
+                        1, 8))::BIGINT % 512 AS bucket
+               FROM cand c, r)
+        SELECT cb.tok, cb.tf, CAST(min(sk.cnt) AS BIGINT) AS est,
+               CAST(min(sk.cnt) - cb.tf AS BIGINT) AS overcount
+        FROM cb JOIN sk USING (j, bucket)
+        GROUP BY cb.tok, cb.tf
+        ORDER BY cb.tf DESC, cb.tok"""),
+      build = (s, d) => {
+        val sk = cmsSketch(s, d)
+        val cand = TextAnalysis.vocabFrame(s, d).select("tok", "tf")
+          .orderBy(col("tf").desc, col("tok")).limit(50)
+        cmsEstimate(cand, sk)
+          .select(col("tok"), col("tf"), col("est"),
+            (col("est") - col("tf")).cast("long").as("overcount"))
+          .orderBy(col("tf").desc, col("tok"))
+      }),
+
+    // Distinct-count estimation from the KMV sketch: est = (k-1)/u_k where
+    // u_k is the k-th smallest hash normalized to (0,1) — here written as
+    // (k-1)·2^60/h_k since the hashes are 60-bit integers. The exact
+    // distinct count rides alongside as the accuracy surface. At 100 TB the
+    // exact column is the one you can no longer afford — the sketch column
+    // is the one you keep.
+    QueryDef(
+      "q45_kmv_distinct",
+      covers = "A7 Q15 D9 north-star",
+      oracle = Some("""
+        WITH dh AS (SELECT DISTINCT o_orderpriority AS prio,
+                      ('0x' || substr(md5('kmv|' || o_custkey::VARCHAR),
+                        1, 15))::BIGINT AS h
+                    FROM orders),
+        rk AS (SELECT prio, h,
+                      row_number() OVER (PARTITION BY prio ORDER BY h) AS rk
+               FROM dh),
+        hk AS (SELECT prio, h AS hk FROM rk WHERE rk = 64),
+        ex AS (SELECT o_orderpriority AS prio,
+                      count(DISTINCT o_custkey) AS n_exact
+               FROM orders GROUP BY prio)
+        SELECT ex.prio, ex.n_exact,
+               round(63 * 1152921504606846976.0 / hk.hk, 6) AS est
+        FROM ex JOIN hk USING (prio) ORDER BY ex.prio"""),
+      build = (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val keyed = o.select(col("o_orderpriority").as("prio"),
+          kmvHash(col("o_custkey")).as("h"))
+        val hk = kmvSketch(keyed).filter(col("rk") === KmvK)
+          .select(col("prio"), col("h").as("hk"))
+        val exact = o.groupBy(col("o_orderpriority").as("prio"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        exact.join(hk, "prio")
+          .select(col("prio"), col("n_exact"),
+            round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
+              .as("est"))
+          .orderBy("prio")
+      })
+  )
+}

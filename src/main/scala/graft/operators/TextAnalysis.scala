@@ -25,7 +25,7 @@ object TextAnalysis {
     * — the same memoized-index pattern as the MinHash signature frame: at
     * 100 TB the vocabulary is computed once per corpus snapshot and every
     * frequency-derived score reads it. */
-  private def vocabFrame(
+  private[operators] def vocabFrame(
       s: org.apache.spark.sql.SparkSession, d: String) =
     ResultMemo.materialized("vocab_frame", s, d) {
       Tables.documents(s, d)

@@ -182,6 +182,35 @@ object StreamQueries {
         Streams.runToMemory(
           Streams.sessionCounts(Streams.eventsStream(s, d)),
           unique("q28s"))
-          .orderBy("user_id", "session_start"))
+          .orderBy("user_id", "session_start")),
+
+    // Streaming histogram-sketch maintenance (q43's state at ingest): the
+    // bucket-count vector is a running integer aggregate, merged into the
+    // state store by addition each micro-batch. The sketch domain [lo, hi]
+    // is read once from the batch table — the deploy-time configuration a
+    // real stream job would carry (a stream cannot learn global min/max
+    // online) — via a bounded 1-row aggregate, same posture as the IVF
+    // centroids. Bounded run == batch sketch, which the oracle checks.
+    QueryDef(
+      "q43s_stream_histogram",
+      covers = "D9 A7 streaming north-star",
+      oracle = Some("""
+        WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        b AS (SELECT min(value) AS lo, max(value) AS hi FROM v)
+        SELECT least(255, greatest(0,
+                 CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT)))
+                 AS bucket,
+               count(*) AS cnt
+        FROM v, b GROUP BY bucket ORDER BY bucket"""),
+      build = (s, d) => {
+        val r = graft.Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .agg(min(col("value")), max(col("value"))).head()
+        Streams.runToMemory(
+          Streams.histogramCounts(
+            Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),
+          unique("q43s"))
+          .orderBy("bucket")
+      })
   )
 }

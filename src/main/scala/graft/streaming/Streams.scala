@@ -312,6 +312,24 @@ object Streams {
       .toDF("user_id", "session_start", "n")
   }
 
+  /** Streaming maintenance of the equi-width histogram sketch (Sketches
+    * q43's state) at ingest: bucket counts are a running integer aggregate,
+    * so each micro-batch's partial counts merge into the state store by
+    * addition — the mergeable-sketch property doing the streaming work.
+    * [lo, hi] is the sketch domain, fixed at deploy time (a stream can't
+    * know its global min/max online); the arithmetic mirrors
+    * Sketches.bucketCol exactly so a bounded run equals the batch sketch. */
+  def histogramCounts(
+      events: DataFrame,
+      lo: Double,
+      hi: Double,
+      buckets: Int = 256): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("value") - lit(lo)) / (lit(hi) - lit(lo)) * buckets)))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */
