@@ -203,9 +203,7 @@ object StreamQueries {
                count(*) AS cnt
         FROM v, b GROUP BY bucket ORDER BY bucket"""),
       build = (s, d) => {
-        val r = graft.Tables.events(s, d)
-          .filter(col("value").isNotNull)
-          .agg(min(col("value")), max(col("value"))).head()
+        val r = graft.operators.Sketches.eventBounds(s, d).head()
         Streams.runToMemory(
           Streams.histogramCounts(
             Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),

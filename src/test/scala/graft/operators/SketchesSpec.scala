@@ -93,7 +93,7 @@ class SketchesSpec extends SparkTestBase {
     // the histogram groupBy must plan a partial -> final aggregate so each
     // task ships at most 256 rows, and CMS at most 3*512 — the property
     // that makes a 100 TB profile a constant-size shuffle
-    val p = Sketches.eventHistogram(spark, dir)
+    val p = ResultMemo.bypass(Sketches.eventHistogram(spark, dir))
       .queryExecution.executedPlan.toString()
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       p.take(1500))
