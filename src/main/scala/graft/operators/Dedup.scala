@@ -563,8 +563,14 @@ object Dedup {
         val sim = Tables.documents(s, d)
           .select(col("doc_id"),
             graft.functions.HashKernels.simhash64Md5Col(s, col("text")).as("simhash"))
+        // band index rides the HIGH bits of the key: docs must agree on the
+        // same 16 bits AT the same band position (matches the oracle's
+        // a.band = c.band join) — without it, cross-band value collisions
+        // inflate the candidate buckets ~4× for pairs the hamming filter
+        // then has to reject (measured 83 MB of the bench's shuffle)
         val bandExprs = (0 until 4).map(b =>
-          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)))
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)) +
+            lit(b.toLong << 16))
         val bands = sim.select(col("doc_id"), col("simhash"),
           explode(array(bandExprs: _*)).as("bkey"))
         val a = bands.select(col("doc_id").as("id_a"),
