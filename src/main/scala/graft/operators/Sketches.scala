@@ -258,6 +258,101 @@ object Sketches {
             round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
               .as("est"))
           .orderBy("prio")
+      }),
+
+    // Theta-sketch-style SET ALGEBRA on the KMV sketches: for every group
+    // pair, |A ∪ B| and |A ∩ B| estimated from the two k-minima sets alone
+    // — union sketch = k smallest of the sketches' union (θ = its k-th
+    // minimum), intersection = (shared minima below θ)/k of the union
+    // estimate. This is how corpus overlap / contamination RATES are
+    // measured at 100 TB: the exact columns alongside need a distinct-join
+    // over the full key sets; the sketch columns need 2·k hashes per pair,
+    // whatever the corpus size. Per-pair work is windowed over ≤2k rows.
+    QueryDef(
+      "q46_kmv_set_ops",
+      covers = "A7 Q15 Q19 D9 north-star",
+      oracle = Some("""
+        WITH dh AS (SELECT DISTINCT o_orderpriority AS prio,
+                      ('0x' || substr(md5('kmv|' || o_custkey::VARCHAR),
+                        1, 15))::BIGINT AS h
+                    FROM orders),
+        rk AS (SELECT prio, h,
+                      row_number() OVER (PARTITION BY prio ORDER BY h) AS rk
+               FROM dh),
+        sk AS (SELECT prio, h FROM rk WHERE rk <= 64),
+        pr AS (SELECT a.prio AS pa, b.prio AS pb
+               FROM (SELECT DISTINCT prio FROM sk) a
+               JOIN (SELECT DISTINCT prio FROM sk) b ON a.prio < b.prio),
+        u AS (SELECT pr.pa, pr.pb, s.h,
+                     CASE WHEN s.prio = pr.pa THEN 1 ELSE 0 END AS ina,
+                     CASE WHEN s.prio = pr.pb THEN 1 ELSE 0 END AS inb
+              FROM pr JOIN sk s ON s.prio IN (pr.pa, pr.pb)),
+        ud AS (SELECT pa, pb, h, max(ina) AS in_a, max(inb) AS in_b
+               FROM u GROUP BY pa, pb, h),
+        ur AS (SELECT pa, pb, h, in_a, in_b,
+                      row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rk
+               FROM ud),
+        th AS (SELECT pa, pb, h AS hk FROM ur WHERE rk = 64),
+        sh AS (SELECT pa, pb,
+                      CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+               FROM ur WHERE rk <= 64 GROUP BY pa, pb),
+        dc AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS c
+               FROM orders),
+        exu AS (SELECT pr.pa, pr.pb, count(DISTINCT d.c) AS n_union
+                FROM pr JOIN dc d ON d.prio IN (pr.pa, pr.pb)
+                GROUP BY pr.pa, pr.pb),
+        exi AS (SELECT a.prio AS pa, b.prio AS pb, count(*) AS n_inter
+                FROM dc a JOIN dc b ON a.c = b.c AND a.prio < b.prio
+                GROUP BY a.prio, b.prio)
+        SELECT th.pa, th.pb, exu.n_union,
+               COALESCE(exi.n_inter, 0) AS n_inter, sh.n_shared,
+               round(63 * 1152921504606846976.0 / th.hk, 6) AS est_union,
+               round(sh.n_shared * (63 * 1152921504606846976.0 / th.hk)
+                     / 64, 6) AS est_inter
+        FROM th JOIN sh USING (pa, pb) JOIN exu USING (pa, pb)
+        LEFT JOIN exi USING (pa, pb)
+        ORDER BY th.pa, th.pb"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.load(s, d, "orders")
+        val keyed = o.select(col("o_orderpriority").as("prio"),
+          kmvHash(col("o_custkey")).as("h"))
+        val sk = kmvSketch(keyed).select("prio", "h")
+        val prios = sk.select("prio").distinct()
+        val pr = prios.select(col("prio").as("pa"))
+          .join(prios.select(col("prio").as("pb")), col("pa") < col("pb"))
+        val u = broadcast(pr).join(sk,
+            col("prio") === col("pa") || col("prio") === col("pb"))
+          .select(col("pa"), col("pb"), col("h"),
+            when(col("prio") === col("pa"), 1).otherwise(0).as("ina"),
+            when(col("prio") === col("pb"), 1).otherwise(0).as("inb"))
+        val ud = u.groupBy("pa", "pb", "h")
+          .agg(max("ina").as("in_a"), max("inb").as("in_b"))
+        val ur = ud.withColumn("rk", row_number().over(
+          Window.partitionBy("pa", "pb").orderBy("h")))
+        val th = ur.filter(col("rk") === KmvK)
+          .select(col("pa"), col("pb"), col("h").as("hk"))
+        val sh = ur.filter(col("rk") <= KmvK).groupBy("pa", "pb")
+          .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1)
+            .otherwise(0)).cast("long").as("n_shared"))
+        val dc = o.select(col("o_orderpriority").as("prio"),
+          col("o_custkey").as("c")).distinct()
+        val exu = broadcast(pr).join(dc,
+            col("prio") === col("pa") || col("prio") === col("pb"))
+          .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
+        val exi = dc.select(col("prio").as("pa"), col("c"))
+          .join(dc.select(col("prio").as("pb"), col("c")),
+            Seq("c")).filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_inter"))
+        val estU = lit(63) * lit(1152921504606846976.0) / col("hk")
+        th.join(sh, Seq("pa", "pb")).join(exu, Seq("pa", "pb"))
+          .join(exi, Seq("pa", "pb"), "left")
+          .select(col("pa"), col("pb"), col("n_union"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_shared"),
+            round(estU, 6).as("est_union"),
+            round(col("n_shared") * estU / KmvK, 6).as("est_inter"))
+          .orderBy("pa", "pb")
       })
   )
 }

@@ -89,6 +89,21 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmv set ops: union estimate tracks exact, intersection is bounded") {
+    val rows = SparkEntry.queries("q46_kmv_set_ops")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nU   = r.getAs[Long]("n_union")
+      val eU   = r.getAs[Double]("est_union")
+      val eI   = r.getAs[Double]("est_inter")
+      val shrd = r.getAs[Long]("n_shared")
+      assert(shrd >= 0 && shrd <= 64)
+      assert(eI >= 0.0 && eI <= eU + 1e-9,
+        s"intersection estimate $eI above union $eU")
+      assert(math.abs(eU - nU) / nU < 0.4, s"union est $eU vs exact $nU")
+    }
+  }
+
   test("sketch shuffles carry only bounded keys (constant-size aggregates)") {
     // the histogram groupBy must plan a partial -> final aggregate so each
     // task ships at most 256 rows, and CMS at most 3*512 — the property
