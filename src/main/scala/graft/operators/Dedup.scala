@@ -53,7 +53,25 @@ object Dedup {
     * run — the observable that pins the O(log²) bound (DedupSpec runs a
     * 600-node chain in ~10 rounds where min-label would need ~600). */
   private[graft] def connectedComponentsWithStats(
-      pairs: DataFrame, maxIters: Int = 32): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1):
+      (DataFrame, Int) = {
+    // preRounds measured on d09's real LSH pairs at sf0.1 (CcRounds):
+    // 0 -> 3 star rounds / 3.8 s warm; 1 -> 2 rounds / 3.3 s; 2 -> 2
+    // rounds / 3.3 s. One round is the sweet spot — every pre-round is a
+    // full-edge-set shuffle, and the first one does the clique collapse.
+    // Hybrid: a BOUNDED number of min-label pre-rounds first, chained
+    // lazily (no convergence action — the star loop's first checksum
+    // materializes them). LSH/cosine candidate graphs are dense shallow
+    // clusters; one propagation round collapses a clique outright, so the
+    // star loop starts from a contracted graph with far fewer live
+    // labels and converges in fewer of its (checksum-action-per-round)
+    // iterations. Correctness: after k rounds label(v) = min id within k
+    // hops; edges projected onto labels preserve exactly the original
+    // component structure (a path of nodes maps to a path of labels), and
+    // the component's global min m keeps label(m) = m, so the star
+    // fixpoint root of the contracted graph IS the component min. Final
+    // labels compose v -> root(label(v)).
+    //
     // large-star: every node v strictly larger than u links to
     // m = min(Γ(u) ∪ {u}); small-star: every smaller neighbor (and u
     // itself) links to m. Alternating the two is monotone toward the
@@ -90,7 +108,27 @@ object Dedup {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var edges = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val raw = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val sym = raw.unionByName(
+      raw.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 0 until preRounds) {
+      val nmin = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      labels = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+    }
+    labels = labels.localCheckpoint()
+    var edges = raw
+      .join(labels.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
     var prev  = checksum(edges)
     var iters = 0
@@ -104,9 +142,13 @@ object Dedup {
       prev = cur
       iters += 1
     }
-    // fixpoint is a star per component: each member points to the min
-    (edges.select(col("src").as("id"), col("dst").as("label"))
-      .unionByName(edges.select(col("dst").as("id"), col("dst").as("label")))
+    // star fixpoint roots per surviving label; nodes whose whole cluster
+    // collapsed in the pre-rounds keep their (already-min) label
+    val roots = edges.select(col("src").as("l"), col("dst").as("root"))
+      .unionByName(edges.select(col("dst").as("l"), col("dst").as("root")))
+      .distinct()
+    (labels.join(roots, col("label") === col("l"), "left")
+      .select(col("id"), coalesce(col("root"), col("label")).as("label"))
       .distinct(), iters)
   }
 
