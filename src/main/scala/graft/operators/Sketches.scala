@@ -74,7 +74,7 @@ object Sketches {
 
   /** Explode one token row into its (j, bucket) coordinates, one per CMS
     * row — a constant ×3 fan-out of 16-byte pairs, not of the text. */
-  private def cmsCoords(tok: Column): Column =
+  private[graft] def cmsCoords(tok: Column): Column =
     explode(array((0 until CmsDepth).map(j =>
       struct(lit(j).as("j"), cmsBucket(lit(j), tok).as("bucket"))): _*))
 

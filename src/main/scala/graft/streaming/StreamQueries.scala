@@ -184,6 +184,29 @@ object StreamQueries {
           unique("q28s"))
           .orderBy("user_id", "session_start")),
 
+    // Streaming count-min-sketch maintenance (q44's state at ingest): the
+    // ≤3×512 integer counters are a running aggregate merged by addition
+    // each micro-batch — after a bounded run the state IS the batch
+    // sketch, which the oracle checks counter by counter. At scale this
+    // is the heavy-hitter monitor a firehose keeps without per-key state.
+    QueryDef(
+      "q44s_stream_cms",
+      covers = "D9 A7 streaming north-star",
+      oracle = Some("""
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        r AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
+        wb AS (SELECT j, ('0x' || substr(md5('cms' || j::VARCHAR || '|' || tok),
+                         1, 8))::BIGINT % 512 AS bucket
+               FROM w, r)
+        SELECT j, bucket, count(*) AS cnt FROM wb
+        GROUP BY j, bucket ORDER BY j, bucket"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.cmsCounts(Streams.documentsStream(s, d)),
+          unique("q44s"))
+          .orderBy("j", "bucket")),
+
     // Streaming histogram-sketch maintenance (q43's state at ingest): the
     // bucket-count vector is a running integer aggregate, merged into the
     // state store by addition each micro-batch. The sketch domain [lo, hi]

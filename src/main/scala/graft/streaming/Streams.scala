@@ -330,6 +330,19 @@ object Streams {
         .cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming maintenance of the count-min sketch (Sketches q44's state)
+    * at ingest: every arriving doc's tokens explode into their (row,
+    * bucket) coordinates via the shared md5 kernel, and the ≤3×512 integer
+    * counters merge into the state store by addition each micro-batch —
+    * the same mergeable-sketch property as the histogram twin. A bounded
+    * run equals the batch sketch. */
+  def cmsCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select(graft.operators.Sketches.cmsCoords(col("tok")).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */
