@@ -321,4 +321,34 @@ class StreamsSpec extends SparkTestBase {
       assert(!rows.exists(_._1 == null), s"unmatched user leaked: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("sketch maintenance: a later batch ADDS into existing counters") {
+    // the mergeable-sketch property doing the streaming work (q43s/q44s):
+    // bucket counters accumulate across triggers, never reset or replace
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Streams.cmsCounts(input.toDF.toDF("text"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("cms_acc").start()
+    try {
+      input.addData("alpha alpha beta")
+      q.processAllAvailable()
+      val after1 = spark.table("cms_acc").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      input.addData("alpha")
+      q.processAllAvailable()
+      val after2 = spark.table("cms_acc").collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+      // every counter that held "alpha" (count 2 in batch 1 — the rows
+      // where alpha sits alone count exactly 2) must now read 3
+      val alphaBuckets = after1.filter(_._2 == 2L).keys
+      assert(alphaBuckets.nonEmpty, s"no alpha-only counters: $after1")
+      alphaBuckets.foreach { k =>
+        assert(after2(k) == 3L, s"counter $k did not accumulate: ${after2}")
+      }
+    } finally q.stop()
+  }
 }
