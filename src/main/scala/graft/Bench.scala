@@ -68,6 +68,17 @@ object Bench {
     try operators.Multimodal.mediaTable(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Key the stdout map by each query's unique id prefix ("d01", "q15b",
+    // "q26s", ...): the driver captures only the LAST ~2 KB of stdout, and
+    // at 92 queries full names pushed the line past that window — round 4's
+    // bench line printed fine but arrived truncated, so it never parsed.
+    // The full-name map (with shuffle MB) lives in target/bench_*.json.
+    // Fail a prefix collision BEFORE the benchmark loop, not after all reps.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val allNames = SparkEntry.queries.keys.toSeq
+    require(allNames.map(short).distinct.size == allNames.size,
+      "query id prefixes must stay unique — bench stdout map is keyed by them")
+
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -114,14 +125,6 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_times.json"), times.getBytes("UTF-8"))
     val ok   = results.filter(_._4.isEmpty)
-    // Key the stdout map by each query's unique id prefix ("d01", "q15b",
-    // "q26s", ...): the driver captures only the LAST ~2 KB of stdout, and
-    // at 92 queries full names pushed the line past that window — round 4's
-    // bench line printed fine but arrived truncated, so it never parsed.
-    // The full-name map (with shuffle MB) lives in target/bench_*.json.
-    def short(k: String): String = k.takeWhile(_ != '_')
-    require(results.map(r => short(r._1)).distinct.size == results.size,
-      "query id prefixes must stay unique — bench stdout map is keyed by them")
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + short(k) + "\":\"" + e + "\"" }
     val qs = ok.map { case (k, v, _, _) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -109,12 +109,58 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** 60-bit md5-derived hashes of the distinct n-token grams of `text`,
+    * first-occurrence order, deduped on the HASH value; null if < n tokens.
+    * The hashed sibling of [[ngrams]] (VERDICT r5 #3): the gram string never
+    * escapes the kernel, so everything downstream — explode, bloom probe,
+    * broadcast join, exchange — carries 8-byte longs instead of ~25-byte
+    * gram strings. Value-identical to DuckDB's
+    * list_distinct(list_transform(grams, g ->
+    *   ('0x' || substr(md5(g), 1, 15))::BIGINT)) — 15 hex chars = the top
+    * 60 bits of the digest, same slice as the KMV hash. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return null
+    val set = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    val digest = md.get()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes("UTF-8"))
+      // hex chars 1..15 = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      set.add(v)
+      i += 1
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Bloom probe on the raw UTF-8 bytes — equivalent to
     * `BloomFilter.mightContainString` without materializing a String
     * (putString/mightContainString hash exactly these bytes). */
   def bloomProbe(
       bf: org.apache.spark.util.sketch.BloomFilter, s: UTF8String): Boolean =
     bf.mightContainBinary(s.getBytes)
+
+  /** Bloom probe for long keys (the hashed-gram path). */
+  def bloomProbeLong(
+      bf: org.apache.spark.util.sketch.BloomFilter, v: Long): Boolean =
+    bf.mightContainLong(v)
 
   /** 8-element MinHash signature (hex md5 minima under salts "0|".."7|").
     * The digest streams `<salt digit> '|' <shingle bytes>` — the same byte
@@ -410,6 +456,43 @@ object HashKernels {
       copy(child = c)
   }
 
+  case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      ngramHashes(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashKernels.ngramHashes($c, $n);
+        ${ev.isNull} = ${ev.value} == null;""")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Codegen'd Bloom membership test over LONG keys (see [[BloomProbeExpr]]
+    * for the broadcast-reference mechanics). */
+  case class BloomProbeLongExpr(
+      child: Expression,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(t: Any): Any =
+      bloomProbeLong(bf.value, t.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBc", bf,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.HashKernels.bloomProbeLong(
+          (org.apache.spark.util.sketch.BloomFilter) $ref.value(), $c);""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class PassjoinIndexExpr(child: Expression, k: Int)
     extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -457,20 +540,39 @@ object HashKernels {
     org.apache.spark.sql.functions.call_function(name, c)
   }
 
-  private val bloomProbeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def bloomProbeCol(
       spark: SparkSession,
       c: Column,
       bf: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]): Column = {
-    // name is per-registration: each build captures its own broadcast. A
-    // process-wide counter guarantees uniqueness — identityHashCode could
-    // collide across two live Broadcasts and silently rebind the lazily
-    // analyzed plan to the wrong filter (false negatives downstream).
-    val name = s"graft_bloom_probe_${bloomProbeSeq.incrementAndGet()}"
+    // name keyed by the BROADCAST id: unique per live filter within a
+    // SparkContext (identityHashCode could collide across two live
+    // Broadcasts and silently rebind a lazily-analyzed plan to the wrong
+    // filter), and re-registering the same broadcast reuses its slot — the
+    // registry no longer grows per CALL in a long-lived session, only per
+    // distinct filter (ADVICE r5).
+    val name = s"graft_bloom_probe_${bf.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => BloomProbeExpr(es.head, bf), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  /** LONG-key sibling of [[bloomProbeCol]] (the hashed-gram path). */
+  def bloomProbeLongCol(
+      spark: SparkSession,
+      c: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column = {
+    val name = s"graft_bloom_probe_long_${bf.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => BloomProbeLongExpr(es.head, bf), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  def ngramHashesCol(spark: SparkSession, c: Column, n: Int): Column = {
+    val name = s"graft_ngram_hashes_$n"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => NgramHashesExpr(es.head, n), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
   }
 

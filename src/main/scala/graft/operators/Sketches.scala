@@ -36,10 +36,15 @@ object Sketches {
 
   /** Bucket id for `value` on the fixed [lo, hi] grid — the arithmetic is
     * mirrored EXACTLY (association order included) in the DuckDB oracles:
-    * least(255, greatest(0, floor((value - lo) / (hi - lo) * 256))). */
+    * least(255, greatest(0, floor((value - lo) / span * 256))) where
+    * span = CASE WHEN hi > lo THEN hi - lo ELSE 1 END. The guard keeps a
+    * degenerate domain (all values equal → hi == lo) in bucket 0 in BOTH
+    * engines — Spark's null-on-divide-by-zero would otherwise flow through
+    * greatest/least while DuckDB's float division yields inf/NaN. */
   private def bucketCol(value: Column, lo: Column, hi: Column): Column =
     least(lit(HistBuckets - 1L), greatest(lit(0L),
-      floor((value - lo) / (hi - lo) * HistBuckets))).cast("long")
+      floor((value - lo) / when(hi > lo, hi - lo).otherwise(lit(1.0))
+        * HistBuckets))).cast("long")
 
   /** The [lo, hi] sketch domain of events.value — a 1-row aggregate, memoized
     * so downstream consumers (q43's interpolation, the histogram itself)
@@ -66,23 +71,32 @@ object Sketches {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
     }
 
-  /** CMS row hash: md5-derived so DuckDB computes the identical bucket
-    * (same trick as Mix's epoch keys — xxhash64 has no DuckDB twin). */
-  private def cmsBucket(j: Column, tok: Column): Column =
-    conv(substring(md5(concat(lit("cms"), j.cast("string"), lit("|"), tok)),
-      1, 8), 16, 10).cast("long") % CmsWidth
+  /** CMS row hash: ONE md5 digest per token ("cms|" + tok, md5-derived so
+    * DuckDB computes the identical bucket — same trick as Mix's epoch keys;
+    * xxhash64 has no DuckDB twin). All three depth rows slice their bucket
+    * coordinate from disjoint 8-hex-char windows of the same 32-char digest
+    * (VERDICT r5 #2: the previous kernel paid 3 independent md5s + string
+    * builds per token; the slices are independent bits of one digest, so the
+    * error guarantee is unchanged). */
+  private[graft] def cmsDigest(tok: Column): Column =
+    md5(concat(lit("cms|"), tok))
 
-  /** Explode one token row into its (j, bucket) coordinates, one per CMS
-    * row — a constant ×3 fan-out of 16-byte pairs, not of the text. */
-  private[graft] def cmsCoords(tok: Column): Column =
+  /** Explode one digest into its (j, bucket) coordinates, one per CMS row —
+    * a constant ×3 fan-out of 16-byte pairs, not of the text. Callers
+    * project [[cmsDigest]] into a column FIRST so the md5 computes once per
+    * token (a Generate input isn't subexpression-eliminated). */
+  private[graft] def cmsCoords(dg: Column): Column =
     explode(array((0 until CmsDepth).map(j =>
-      struct(lit(j).as("j"), cmsBucket(lit(j), tok).as("bucket"))): _*))
+      struct(lit(j).as("j"),
+        (conv(substring(dg, 1 + 8 * j, 8), 16, 10).cast("long") % CmsWidth)
+          .as("bucket"))): _*))
 
   /** The count-min sketch of the token stream: ≤ d×w integer counters. */
   private[operators] def cmsSketch(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
-      .select(cmsCoords(col("tok")).as("jb"))
+      .select(cmsDigest(col("tok")).as("dg"))
+      .select(cmsCoords(col("dg")).as("jb"))
       .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
 
@@ -90,10 +104,11 @@ object Sketches {
     * depth rows of the bucket counters the token hashes into. */
   private[operators] def cmsEstimate(cand: DataFrame, sk: DataFrame): DataFrame =
     cand
-      .withColumn("jb", cmsCoords(col("tok")))
+      .withColumn("dg", cmsDigest(col("tok")))
+      .withColumn("jb", cmsCoords(col("dg")))
       .withColumn("j", col("jb.j"))
       .withColumn("bucket", col("jb.bucket"))
-      .drop("jb")
+      .drop("dg", "jb")
       .join(broadcast(sk), Seq("j", "bucket"))
       .groupBy(cand.columns.map(col): _*)
       .agg(min(col("cnt")).cast("long").as("est"))
@@ -109,7 +124,7 @@ object Sketches {
   private[operators] val KmvK = 64
   private val KmvSalts = 32
 
-  private[operators] def kmvHash(key: Column): Column =
+  private[graft] def kmvHash(key: Column): Column =
     conv(substring(md5(concat(lit("kmv|"), key.cast("string"))), 1, 15),
       16, 10).cast("long")
 
@@ -140,7 +155,9 @@ object Sketches {
         WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
         b AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
         h AS (SELECT least(255, greatest(0,
-                       CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT)))
+                       CAST(floor((value - lo) /
+                         (CASE WHEN hi > lo THEN hi - lo ELSE 1 END) * 256)
+                         AS BIGINT)))
                        AS bucket,
                      count(*) AS cnt
               FROM v, b GROUP BY bucket),
@@ -196,15 +213,15 @@ object Sketches {
         WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
                    FROM documents),
         r AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
-        wb AS (SELECT j, ('0x' || substr(md5('cms' || j::VARCHAR || '|' || tok),
-                         1, 8))::BIGINT % 512 AS bucket
+        wb AS (SELECT j, ('0x' || substr(md5('cms|' || tok),
+                         1 + 8 * j, 8))::BIGINT % 512 AS bucket
                FROM w, r),
         sk AS (SELECT j, bucket, count(*) AS cnt FROM wb GROUP BY j, bucket),
         v AS (SELECT tok, count(*) AS tf FROM w GROUP BY tok),
         cand AS (SELECT tok, tf FROM v ORDER BY tf DESC, tok LIMIT 50),
         cb AS (SELECT c.tok, c.tf, r.j,
-                      ('0x' || substr(md5('cms' || r.j::VARCHAR || '|' || c.tok),
-                        1, 8))::BIGINT % 512 AS bucket
+                      ('0x' || substr(md5('cms|' || c.tok),
+                        1 + 8 * r.j, 8))::BIGINT % 512 AS bucket
                FROM cand c, r)
         SELECT cb.tok, cb.tf, CAST(min(sk.cnt) AS BIGINT) AS est,
                CAST(min(sk.cnt) - cb.tf AS BIGINT) AS overcount

@@ -196,8 +196,8 @@ object StreamQueries {
         WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
                    FROM documents),
         r AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
-        wb AS (SELECT j, ('0x' || substr(md5('cms' || j::VARCHAR || '|' || tok),
-                         1, 8))::BIGINT % 512 AS bucket
+        wb AS (SELECT j, ('0x' || substr(md5('cms|' || tok),
+                         1 + 8 * j, 8))::BIGINT % 512 AS bucket
                FROM w, r)
         SELECT j, bucket, count(*) AS cnt FROM wb
         GROUP BY j, bucket ORDER BY j, bucket"""),
@@ -221,17 +221,63 @@ object StreamQueries {
         WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
         b AS (SELECT min(value) AS lo, max(value) AS hi FROM v)
         SELECT least(255, greatest(0,
-                 CAST(floor((value - lo) / (hi - lo) * 256) AS BIGINT)))
+                 CAST(floor((value - lo) /
+                   (CASE WHEN hi > lo THEN hi - lo ELSE 1 END) * 256)
+                   AS BIGINT)))
                  AS bucket,
                count(*) AS cnt
         FROM v, b GROUP BY bucket ORDER BY bucket"""),
       build = (s, d) => {
         val r = graft.operators.Sketches.eventBounds(s, d).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"q43s: events.value in $d has no non-null rows — " +
+            "cannot fix the sketch domain [lo, hi]")
         Streams.runToMemory(
           Streams.histogramCounts(
             Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),
           unique("q43s"))
           .orderBy("bucket")
+      }),
+
+    // Streaming KMV-distinct maintenance (q45's state at ingest): per group
+    // the state is the ≤k smallest distinct 60-bit hashes — a mergeable
+    // sketch like the histogram/CMS twins, but its merge is "k smallest of
+    // the union", which no built-in streaming aggregate expresses: this is
+    // the flatMapGroupsWithState face of the family. Updates emit per
+    // trigger with a per-group version; a bounded run's FINAL state (max
+    // version per group — the final-state emission pattern the memory sink
+    // lacks natively) must equal the batch sketch, which the oracle checks.
+    QueryDef(
+      "q45s_stream_kmv",
+      covers = "D9 A7 streaming north-star",
+      oracle = Some("""
+        WITH dh AS (SELECT DISTINCT o_orderpriority AS prio,
+                      ('0x' || substr(md5('kmv|' || o_custkey::VARCHAR),
+                        1, 15))::BIGINT AS h
+                    FROM orders),
+        rk AS (SELECT prio, h,
+                      row_number() OVER (PARTITION BY prio ORDER BY h) AS rk
+               FROM dh)
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk,
+               round(63 * 1152921504606846976.0 / max(h), 6) AS est
+        FROM rk WHERE rk <= 64 GROUP BY prio ORDER BY prio"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stream = Streams.ordersStream(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            graft.operators.Sketches.kmvHash(col("o_custkey")).as("h"))
+        val updates = Streams.runToMemory(
+          Streams.kmvUpdates(stream), unique("q45s"), mode = "update")
+        // final sketch per group = the last (highest-version) emission;
+        // the window sees ≤ triggers rows per group, never the hash set
+        updates
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("prio").orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("prio"), col("n_kept"), col("hk"),
+            round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
+              .as("est"))
+          .orderBy("prio")
       })
   )
 }

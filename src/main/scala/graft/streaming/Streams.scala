@@ -323,25 +323,87 @@ object Streams {
       events: DataFrame,
       lo: Double,
       hi: Double,
-      buckets: Int = 256): DataFrame =
+      buckets: Int = 256): DataFrame = {
+    // degenerate-domain guard, mirroring Sketches.bucketCol: all-equal
+    // values land in bucket 0 instead of dividing by zero
+    val span = if (hi > lo) hi - lo else 1.0
     events.filter(col("value").isNotNull)
       .select(least(lit(buckets - 1L), greatest(lit(0L),
-        floor((col("value") - lit(lo)) / (lit(hi) - lit(lo)) * buckets)))
+        floor((col("value") - lit(lo)) / lit(span) * buckets)))
         .cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Streaming maintenance of the count-min sketch (Sketches q44's state)
     * at ingest: every arriving doc's tokens explode into their (row,
-    * bucket) coordinates via the shared md5 kernel, and the ≤3×512 integer
-    * counters merge into the state store by addition each micro-batch —
-    * the same mergeable-sketch property as the histogram twin. A bounded
-    * run equals the batch sketch. */
+    * bucket) coordinates via the shared one-digest md5 kernel, and the
+    * ≤3×512 integer counters merge into the state store by addition each
+    * micro-batch — the same mergeable-sketch property as the histogram
+    * twin. A bounded run equals the batch sketch. */
   def cmsCounts(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(lower(col("text")), " ")).as("tok"))
-      .select(graft.operators.Sketches.cmsCoords(col("tok")).as("jb"))
+      .select(graft.operators.Sketches.cmsDigest(col("tok")).as("dg"))
+      .select(graft.operators.Sketches.cmsCoords(col("dg")).as("jb"))
       .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Pinned orders columns for streaming reads (the KMV twin needs only the
+    * group key and the hashed key; parquet prunes the rest). */
+  val ordersKmvSchema: StructType = StructType(Seq(
+    StructField("o_custkey", LongType),
+    StructField("o_orderpriority", StringType)))
+
+  /** Stream the orders table out of an sf directory (KMV-twin columns). */
+  def ordersStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(ordersKmvSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "orders*.parquet")
+      .parquet(sfDir)
+
+  /** Streaming maintenance of the KMV distinct sketch (Sketches q45's
+    * state): per group, keep the ≤k smallest DISTINCT hashes across
+    * micro-batches. The sketch merge is "k smallest of the union" — not
+    * expressible as a built-in streaming aggregate, so this is the
+    * flatMapGroupsWithState member of the sketch family. State per group is
+    * a bounded sorted set (≤k longs); each trigger that touches a group
+    * re-emits its current sketch summary with a bumped version, so a
+    * bounded run's final state is the max-version row per group. At scale
+    * state is ∝ groups × k and partitions with the groupBy shuffle. */
+  def kmvUpdates(
+      keyed: DataFrame, // prio STRING, h LONG
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .select(col("prio"), col("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Long), (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (prio, rows, state) =>
+          val (minima, version) =
+            state.getOption.getOrElse((Seq.empty[Long], 0L))
+          val set = scala.collection.mutable.TreeSet[Long](minima: _*)
+          rows.foreach { case (_, h) =>
+            // TreeSet dedupes; evict the max once past capacity — the
+            // classic bounded KMV update, O(log k) per arrival
+            if (set.size < k || h < set.lastKey) {
+              set += h
+              if (set.size > k) set -= set.lastKey
+            }
+          }
+          val v = version + 1
+          state.update((set.toSeq, v))
+          Iterator((prio, v, set.size.toLong, set.lastKey))
+      }
+      .toDF("prio", "ver", "n_kept", "hk")
+  }
 
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet

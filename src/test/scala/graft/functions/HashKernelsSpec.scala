@@ -51,6 +51,46 @@ class HashKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("ngramHashes == md5-top-60-bits of the distinct grams, deduped on " +
+    "the hash (200 random word bags)") {
+    // the d11 exchange key: ('0x' || substr(md5(gram), 1, 15))::BIGINT
+    def hashOf(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).substring(0, 15), 16)
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "fff", "g")
+    (1 to 200).foreach { _ =>
+      val n = 2 + rnd.nextInt(5)
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val got = HashKernels.ngramHashes(UTF8String.fromString(text), n)
+      val split = text.split(" ", -1)
+      if (split.length < n) assert(got == null, s"'$text' n=$n")
+      else {
+        val want = split.sliding(n).map(w => hashOf(w.mkString(" ")))
+          .toSeq.distinct
+        assert(got.numElements() == want.length, s"'$text' n=$n")
+        (0 until got.numElements()).foreach(i =>
+          assert(got.getLong(i) == want(i), s"'$text' n=$n i=$i"))
+      }
+    }
+  }
+
+  test("bloom probe on longs: no false negatives, codegen matches direct") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(_ * 7919L)
+    val bf = keys.toDF("k").stat.bloomFilter("k", 1 << 16, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    keys.foreach(k =>
+      assert(HashKernels.bloomProbeLong(bf, k), s"false negative on $k"))
+    val probed = (1L to 1000L).map(_ * 7919L).toDF("k")
+      .filter(HashKernels.bloomProbeLongCol(spark, col("k"), bfB))
+      .collect().map(_.getLong(0)).toSet
+    val direct = (1L to 1000L).map(_ * 7919L)
+      .filter(k => HashKernels.bloomProbeLong(bf, k)).toSet
+    assert(probed == direct)
+    assert(keys.toSet.subsetOf(probed))
+  }
+
   test("bloom probe: no false negatives, and codegen matches interpreted") {
     import spark.implicits._
     val grams = (1 to 500).map(i => s"gram_$i")

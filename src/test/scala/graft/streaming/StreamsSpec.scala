@@ -351,4 +351,35 @@ class StreamsSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("KMV maintenance: minima ACCUMULATE across triggers, dedupe, and " +
+    "stay bounded at k") {
+    // the q45s state: per group, the ≤k smallest DISTINCT hashes of
+    // everything seen so far — a later batch can only tighten the sketch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = Streams.kmvUpdates(input.toDF.toDF("prio", "h"), k = 3)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("kmv_acc").start()
+    try {
+      // batch 1: 4 distinct hashes (one duplicated) -> keep the 3 smallest
+      input.addData(("a", 50L), ("a", 10L), ("a", 30L), ("a", 10L), ("a", 40L))
+      q.processAllAvailable()
+      val r1 = spark.table("kmv_acc")
+        .filter(col("ver") === 1).collect().map(r =>
+          (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(r1 == Seq(("a", 3L, 40L)), s"batch 1 state: $r1")
+      // batch 2: a smaller hash arrives -> it evicts the max (40);
+      // a duplicate of a kept hash (10) must not change anything
+      input.addData(("a", 20L), ("a", 10L), ("b", 7L))
+      q.processAllAvailable()
+      val r2 = spark.table("kmv_acc")
+        .filter(col("ver") === 2 || col("prio") === "b").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(r2 == Set(("a", 2L, 3L, 30L), ("b", 1L, 1L, 7L)),
+        s"batch 2 state: $r2")
+    } finally q.stop()
+  }
 }
