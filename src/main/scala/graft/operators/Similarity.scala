@@ -83,21 +83,52 @@ object Similarity {
   private def pqCols(
       s: org.apache.spark.sql.SparkSession,
       d: String): (Int => org.apache.spark.sql.Column,
-                   Int => org.apache.spark.sql.Column) = {
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      ArrayMath.dot(s, a, b)
-    val dims = dimsOf(s, d)
-    val M = 4
-    require(dims % M == 0, s"PQ needs dims divisible by $M, got $dims")
-    val ds = dims / M
-    val cw: Seq[Seq[(Seq[Double], Double)]] = (0 until M).map { m =>
+                   Int => org.apache.spark.sql.Column) =
+    pqColsFrom(s, subDims(s, d), sampledCodebooks(s, d))
+
+  /** Per-subspace codeword sets of the SAMPLED quantizer (subvectors of the
+    * 16 smallest-md5(vec_id) corpus vectors) with their norms — the
+    * SQL-expressible codebook s07/s08/s09 check against DuckDB. */
+  private def sampledCodebooks(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Seq[(Seq[Double], Double)]] = {
+    val ds = subDims(s, d)
+    (0 until 4).map { m =>
       coarseCentroids(s, d, 16).map { case (_, c, _) =>
-        val w = c.slice(m * ds, (m + 1) * ds)
-        var cc = 0.0
-        w.foreach(x => cc += x * x)
-        (w, cc)
+        withNorm(c.slice(m * ds, (m + 1) * ds))
       }
     }
+  }
+
+  /** Subspace width: dims / M for M = 4 subspaces. */
+  private def subDims(
+      s: org.apache.spark.sql.SparkSession, d: String): Int = {
+    val dims = dimsOf(s, d)
+    require(dims % 4 == 0, s"PQ needs dims divisible by 4, got $dims")
+    dims / 4
+  }
+
+  /** Codeword + its |w|², folded left-to-right (bit-identical to
+    * list_dot_product). */
+  private def withNorm(w: Seq[Double]): (Seq[Double], Double) = {
+    var cc = 0.0
+    w.foreach(x => cc += x * x)
+    (w, cc)
+  }
+
+  /** PQ column builders over an EXPLICIT codebook (sampled or trained):
+    * per-subspace corpus code (argmin over the codewords in one codegen
+    * pass — the same struct-min trick as s04's cell assignment) and
+    * per-query ADC distance table (dt_m[j] = |q_m|² − 2⟨q_m, w_mj⟩ +
+    * |w_mj|², built once scan-side). */
+  private def pqColsFrom(
+      s: org.apache.spark.sql.SparkSession,
+      ds: Int,
+      cw: Seq[Seq[(Seq[Double], Double)]])
+    : (Int => org.apache.spark.sql.Column,
+       Int => org.apache.spark.sql.Column) = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ArrayMath.dot(s, a, b)
     def sub(v: org.apache.spark.sql.Column, m: Int) = slice(v, m * ds + 1, ds)
     val codeCol = (m: Int) => array_min(array(
       cw(m).zipWithIndex.map { case ((w, cc), j) =>
@@ -111,6 +142,29 @@ object Similarity {
     }: _*)
     (codeCol, dtabCol)
   }
+
+  /** K-MEANS-TRAINED sub-codebooks: [[lloydRefine]] of the sampled init,
+    * per subspace slice — the production PQ quality path (the spec pins
+    * that it beats the sampled codebook; s10 pins its recall per round).
+    * Each refinement pass is one treeAggregate over the corpus, no vector
+    * shuffle; results are 1e-9-quantized so they don't drift with
+    * partition layout. Cached per sf dir (12 small jobs once a session). */
+  private val trainedCwCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[Seq[(Seq[Double], Double)]]]()
+
+  private def trainedCodebooks(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Seq[(Seq[Double], Double)]] =
+    trainedCwCache.computeIfAbsent(d, _ => {
+      val ds = subDims(s, d)
+      val sampled = sampledCodebooks(s, d)
+      (0 until 4).map { m =>
+        val sub = Tables.embeddings(s, d)
+          .select(slice(col("embedding"), m * ds + 1, ds).as("embedding"))
+        lloydRefine(sub, sampled(m).map(_._1), iters = 4).map(withNorm)
+      }
+    })
 
   /** ADC candidate cost: 4 table lookups + 3 adds, summed in the oracle's
     * association order, rounded at 6dp before ranking. */
@@ -549,20 +603,7 @@ object Similarity {
         ORDER BY qid, rn"""),
       build = (s, d) => materialized("s07_ann_pq_topk", s, d) {
         val (codeCol, dtabCol) = pqCols(s, d)
-        val e = Tables.embeddings(s, d)
-        val corpus = e.select(
-          col("vec_id") +: (0 until 4).map(m => codeCol(m).as(s"code$m")): _*)
-        val queries = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-          .select(col("qid") +: (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
-        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
-        corpus.crossJoin(broadcast(queries))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), pqAdist.as("adist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= K)
-          .select("qid", "rn", "vec_id", "adist")
-          .orderBy("qid", "rn")
+        pqTopkFrom(s, d, codeCol, dtabCol)
       }),
 
     // PQ recall: the same metric s03/s05 report for LSH/IVF, over the
@@ -669,8 +710,66 @@ object Similarity {
           .filter(col("rn") <= K)
           .select("qid", "rn", "vec_id", "adist")
           .orderBy("qid", "rn")
+      }),
+
+    // Recall of the TRAINED PQ index — the production quality path s08's
+    // comment documents: the same ADC dataflow as s07, but each subspace
+    // codebook is Lloyd-refined from the sampled init (lloydRefine — one
+    // treeAggregate per pass, no vector shuffle). k-means has no
+    // closed-form SQL twin, so this pins the sf0.01 result as a versioned
+    // fixture (same posture as q15b/e03/m02); SimilaritySpec separately
+    // pins that the trained codebook beats the sampled one and that
+    // lloydRefine is stable under repartitioning — the layout-independence
+    // precondition for pinning (checked at 3 vs 8 cpus before the pin).
+    QueryDef(
+      "s10_ann_pq_trained_recall",
+      covers = "north-star ANN compression (trained PQ)",
+      oracle = Some("""
+        -- regression pin (sf0.01): k-means-trained codebooks, no SQL twin
+        SELECT * FROM read_parquet('/root/repo/fixtures/s10_ann_pq_trained_recall.parquet')
+        ORDER BY qid"""),
+      build = (s, d) => materialized("s10_ann_pq_trained_recall", s, d) {
+        val (codeCol, dtabCol) =
+          pqColsFrom(s, subDims(s, d), trainedCodebooks(s, d))
+        val approx = pqTopkFrom(s, d, codeCol, dtabCol)
+          .select(col("qid"), col("vec_id"))
+        val exact = defs.find(_.name == "s01_cosine_topk").get.build(s, d)
+          .select(col("qid"), col("vec_id"))
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("qid").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), lit("pq_trained").as("method"),
+            round(coalesce(col("n_hits"), lit(0)) / col("k"), 4).as("recall"))
+          .orderBy("qid")
       })
   )
+
+  /** Exhaustive ADC scoring + per-query top-k over an explicit PQ codebook
+    * (the s07 dataflow, shared with s10's trained variant): corpus rows
+    * carry 4 one-byte codes, queries broadcast their M×16 distance tables,
+    * and a candidate costs 4 lookups + 3 adds. */
+  private def pqTopkFrom(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      codeCol: Int => org.apache.spark.sql.Column,
+      dtabCol: Int => org.apache.spark.sql.Column)
+    : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val corpus = e.select(
+      col("vec_id") +: (0 until 4).map(m => codeCol(m).as(s"code$m")): _*)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid") +: (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdist.as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("qid", "rn", "vec_id", "adist")
+      .orderBy("qid", "rn")
+  }
 
   /** IVF coarse centroids: the k corpus vectors with the smallest
     * md5(vec_id), as (cell, vector, |c|²) — deterministic under any

@@ -141,4 +141,18 @@ class SimilaritySpec extends SparkTestBase {
     val hits = pq.map(r => (r.getLong(0), r.getLong(2))).count(exact.contains)
     assert(hits > 0, "PQ top-k should intersect the exact top-k somewhere")
   }
+
+  test("s10 trained-PQ recall: one row per query, recall bounded in [0, 1]") {
+    // the fixture pin guards the exact values per round; this guards shape
+    val dir = "/root/testdata/sf0.001"
+    val rows = ResultMemo.bypass(
+      Similarity.defs.find(_.name == "s10_ann_pq_trained_recall").get
+        .build(spark, dir)).collect()
+    assert(rows.length == 10, s"expected 10 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getString(1) == "pq_trained")
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $rec")
+    }
+  }
 }
