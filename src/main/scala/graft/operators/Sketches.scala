@@ -142,6 +142,38 @@ object Sketches {
       .filter(col("rk") <= KmvK)
   }
 
+  /** Theta-sketch set algebra over per-group KMV sketches (q46's sketch
+    * half, shared with the streaming twin q46s): for every group pair,
+    * union sketch = k smallest of the two sketches' union (θ = its k-th
+    * minimum), intersection estimate = (shared minima below θ)/k of the
+    * union estimate. Input is the sketch rows (prio, h), ≤k per group;
+    * per-pair work is windowed over ≤2k rows. */
+  private[graft] def thetaSetOps(sk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prios = sk.select("prio").distinct()
+    val pr = prios.select(col("prio").as("pa"))
+      .join(prios.select(col("prio").as("pb")), col("pa") < col("pb"))
+    val u = broadcast(pr).join(sk,
+        col("prio") === col("pa") || col("prio") === col("pb"))
+      .select(col("pa"), col("pb"), col("h"),
+        when(col("prio") === col("pa"), 1).otherwise(0).as("ina"),
+        when(col("prio") === col("pb"), 1).otherwise(0).as("inb"))
+    val ud = u.groupBy("pa", "pb", "h")
+      .agg(max("ina").as("in_a"), max("inb").as("in_b"))
+    val ur = ud.withColumn("rk", row_number().over(
+      Window.partitionBy("pa", "pb").orderBy("h")))
+    val th = ur.filter(col("rk") === KmvK)
+      .select(col("pa"), col("pb"), col("h").as("hk"))
+    val sh = ur.filter(col("rk") <= KmvK).groupBy("pa", "pb")
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1)
+        .otherwise(0)).cast("long").as("n_shared"))
+    val estU = lit(63) * lit(1152921504606846976.0) / col("hk")
+    th.join(sh, Seq("pa", "pb"))
+      .select(col("pa"), col("pb"), col("n_shared"),
+        round(estU, 6).as("est_union"),
+        round(col("n_shared") * estU / KmvK, 6).as("est_inter"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Quantile estimation FROM the histogram sketch: rank targets are pure
     // integer arithmetic (ceil(n·pct/100) = (n·pct + 99) div 100 — no float
@@ -331,30 +363,15 @@ object Sketches {
         LEFT JOIN exi USING (pa, pb)
         ORDER BY th.pa, th.pb"""),
       build = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val o = Tables.load(s, d, "orders")
         val keyed = o.select(col("o_orderpriority").as("prio"),
           kmvHash(col("o_custkey")).as("h"))
-        val sk = kmvSketch(keyed).select("prio", "h")
-        val prios = sk.select("prio").distinct()
-        val pr = prios.select(col("prio").as("pa"))
-          .join(prios.select(col("prio").as("pb")), col("pa") < col("pb"))
-        val u = broadcast(pr).join(sk,
-            col("prio") === col("pa") || col("prio") === col("pb"))
-          .select(col("pa"), col("pb"), col("h"),
-            when(col("prio") === col("pa"), 1).otherwise(0).as("ina"),
-            when(col("prio") === col("pb"), 1).otherwise(0).as("inb"))
-        val ud = u.groupBy("pa", "pb", "h")
-          .agg(max("ina").as("in_a"), max("inb").as("in_b"))
-        val ur = ud.withColumn("rk", row_number().over(
-          Window.partitionBy("pa", "pb").orderBy("h")))
-        val th = ur.filter(col("rk") === KmvK)
-          .select(col("pa"), col("pb"), col("h").as("hk"))
-        val sh = ur.filter(col("rk") <= KmvK).groupBy("pa", "pb")
-          .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1)
-            .otherwise(0)).cast("long").as("n_shared"))
+        val sketch = thetaSetOps(kmvSketch(keyed).select("prio", "h"))
         val dc = o.select(col("o_orderpriority").as("prio"),
           col("o_custkey").as("c")).distinct()
+        val ps = dc.select("prio").distinct()
+        val pr = ps.select(col("prio").as("pa"))
+          .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))
         val exu = broadcast(pr).join(dc,
             col("prio") === col("pa") || col("prio") === col("pb"))
           .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
@@ -362,13 +379,11 @@ object Sketches {
           .join(dc.select(col("prio").as("pb"), col("c")),
             Seq("c")).filter(col("pa") < col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_inter"))
-        val estU = lit(63) * lit(1152921504606846976.0) / col("hk")
-        th.join(sh, Seq("pa", "pb")).join(exu, Seq("pa", "pb"))
+        sketch.join(exu, Seq("pa", "pb"))
           .join(exi, Seq("pa", "pb"), "left")
           .select(col("pa"), col("pb"), col("n_union"),
             coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_shared"),
-            round(estU, 6).as("est_union"),
-            round(col("n_shared") * estU / KmvK, 6).as("est_inter"))
+            col("est_union"), col("est_inter"))
           .orderBy("pa", "pb")
       })
   )

@@ -278,6 +278,65 @@ object StreamQueries {
             round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
               .as("est"))
           .orderBy("prio")
+      }),
+
+    // Streaming KMV SET ALGEBRA: the q46 measurement over sketches that
+    // were MAINTAINED at ingest rather than built in batch — the final
+    // per-group minima sets (same flatMapGroupsWithState state as q45s)
+    // feed the theta set-ops directly, so corpus overlap / contamination
+    // rates come out of a monitor that never re-reads the corpus. The
+    // exact-count columns of batch q46 are deliberately absent: they are
+    // the thing a bounded-state stream job CANNOT maintain; the sketch
+    // columns are what it keeps. Bounded run == batch sketch algebra,
+    // which the oracle checks.
+    QueryDef(
+      "q46s_stream_kmv_setops",
+      covers = "D9 A7 Q19 streaming north-star",
+      oracle = Some("""
+        WITH dh AS (SELECT DISTINCT o_orderpriority AS prio,
+                      ('0x' || substr(md5('kmv|' || o_custkey::VARCHAR),
+                        1, 15))::BIGINT AS h
+                    FROM orders),
+        rk AS (SELECT prio, h,
+                      row_number() OVER (PARTITION BY prio ORDER BY h) AS rk
+               FROM dh),
+        sk AS (SELECT prio, h FROM rk WHERE rk <= 64),
+        pr AS (SELECT a.prio AS pa, b.prio AS pb
+               FROM (SELECT DISTINCT prio FROM sk) a
+               JOIN (SELECT DISTINCT prio FROM sk) b ON a.prio < b.prio),
+        u AS (SELECT pr.pa, pr.pb, s.h,
+                     CASE WHEN s.prio = pr.pa THEN 1 ELSE 0 END AS ina,
+                     CASE WHEN s.prio = pr.pb THEN 1 ELSE 0 END AS inb
+              FROM pr JOIN sk s ON s.prio IN (pr.pa, pr.pb)),
+        ud AS (SELECT pa, pb, h, max(ina) AS in_a, max(inb) AS in_b
+               FROM u GROUP BY pa, pb, h),
+        ur AS (SELECT pa, pb, h, in_a, in_b,
+                      row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rk
+               FROM ud),
+        th AS (SELECT pa, pb, h AS hk FROM ur WHERE rk = 64),
+        sh AS (SELECT pa, pb,
+                      CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+               FROM ur WHERE rk <= 64 GROUP BY pa, pb)
+        SELECT th.pa, th.pb, sh.n_shared,
+               round(63 * 1152921504606846976.0 / th.hk, 6) AS est_union,
+               round(sh.n_shared * (63 * 1152921504606846976.0 / th.hk)
+                     / 64, 6) AS est_inter
+        FROM th JOIN sh USING (pa, pb)
+        ORDER BY th.pa, th.pb"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stream = Streams.ordersStream(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            graft.operators.Sketches.kmvHash(col("o_custkey")).as("h"))
+        val updates = Streams.runToMemory(
+          Streams.kmvUpdates(stream), unique("q46s"), mode = "update")
+        val finalSk = updates
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("prio").orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("prio"), explode(col("minima")).as("h"))
+        graft.operators.Sketches.thetaSetOps(finalSk).orderBy("pa", "pb")
       })
   )
 }

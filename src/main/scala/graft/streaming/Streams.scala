@@ -384,7 +384,8 @@ object Streams {
       .select(col("prio"), col("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[Long], Long), (String, Long, Long, Long)](
+      .flatMapGroupsWithState[
+        (Seq[Long], Long), (String, Long, Long, Long, Seq[Long])](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (prio, rows, state) =>
           val (minima, version) =
@@ -400,9 +401,11 @@ object Streams {
           }
           val v = version + 1
           state.update((set.toSeq, v))
-          Iterator((prio, v, set.size.toLong, set.lastKey))
+          // summary scalars feed q45s; the minima themselves (ascending)
+          // feed q46s's set algebra over the FINAL sketches
+          Iterator((prio, v, set.size.toLong, set.lastKey, set.toSeq))
       }
-      .toDF("prio", "ver", "n_kept", "hk")
+      .toDF("prio", "ver", "n_kept", "hk", "minima")
   }
 
   /** Drive a finite streaming aggregation into an in-memory table and return
