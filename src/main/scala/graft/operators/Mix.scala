@@ -218,6 +218,63 @@ object Mix {
         k.select(col("epoch"), col("reader"),
             row_number().over(w).as("seq"), col("doc_id"))
           .orderBy("epoch", "reader", "seq")
+      }),
+
+    // --------------------------------------------------------------- X-mix 6
+    // Fixed-length sequence packing (concat-and-chunk): the pretraining
+    // loader's actual layout — documents are concatenated in a deterministic
+    // stream and cut every L=256 tokens, so a document may STRADDLE sequence
+    // boundaries (unlike q04/x02's greedy whole-doc bins). Emits each doc's
+    // packing coordinates: which sequence and offset its first and last
+    // token land on. Packing runs per (source, reader) stream — the md5
+    // reader assignment from x05 — so every window covers one loader
+    // worker's slice, never a whole source: the shuffle is (source, reader)-
+    // keyed and the cumulative sum stays parallel at any corpus size.
+    QueryDef(
+      "x06_sequence_pack",
+      covers = "W7 W8 mix north-star",
+      oracle = Some("""
+        SELECT source, reader, doc_id, doc_tokens,
+               (tok_start // 256) AS start_seq, (tok_start % 256) AS start_off,
+               (tok_end // 256)   AS end_seq,   (tok_end % 256)   AS end_off
+        FROM (
+          SELECT source, reader, doc_id, doc_tokens,
+                 sum(doc_tokens) OVER (PARTITION BY source, reader
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - doc_tokens AS tok_start,
+                 sum(doc_tokens) OVER (PARTITION BY source, reader
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1 AS tok_end
+          FROM (SELECT source, doc_id,
+                       CAST(('0x' || substr(md5('p|' || doc_id::VARCHAR),
+                         1, 8))::UBIGINT % 8 AS INT) AS reader,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS doc_tokens
+                FROM documents))
+        ORDER BY source, reader, doc_id"""),
+      build = (s, d) => {
+        val reader = (conv(substring(md5(concat(lit("p|"),
+          col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 8).cast("int")
+        val w = Window.partitionBy("source", "reader").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = sum(col("doc_tokens")).over(w)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), reader.as("reader"),
+            size(split(col("text"), " ")).cast("bigint").as("doc_tokens"))
+          .select(col("source"), col("reader"), col("doc_id"),
+            col("doc_tokens"),
+            (cum - col("doc_tokens")).as("tok_start"),
+            (cum - 1).as("tok_end"))
+          .select(col("source"), col("reader"), col("doc_id"),
+            col("doc_tokens"),
+            expr("tok_start div 256").as("start_seq"),
+            (col("tok_start") % 256).as("start_off"),
+            expr("tok_end div 256").as("end_seq"),
+            (col("tok_end") % 256).as("end_off"))
+          .orderBy("source", "reader", "doc_id")
       })
   )
 }

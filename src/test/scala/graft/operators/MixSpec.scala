@@ -87,6 +87,38 @@ class MixSpec extends SparkTestBase {
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
   }
 
+  test("sequence packing is a contiguous concat-and-chunk per reader stream") {
+    val q = Mix.defs.find(_.name == "x06_sequence_pack").get
+    val out = q.build(spark, dir).collect()
+    val docTotal = graft.Tables.documents(spark, dir).count()
+    assert(out.length.toLong == docTotal) // every doc packed exactly once
+    // offsets live inside a sequence; end never precedes start
+    out.foreach { r =>
+      val (so, eo) = (r.getAs[Long]("start_off"), r.getAs[Long]("end_off"))
+      assert(so >= 0 && so < 256 && eo >= 0 && eo < 256)
+      val (ss, es) = (r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq"))
+      assert(es > ss || (es == ss && eo >= so))
+    }
+    // within each (source, reader) stream the token stream is gapless:
+    // doc n starts exactly one token after doc n-1 ends
+    out.groupBy(r => (r.getAs[String]("source"), r.getAs[Int]("reader")))
+      .foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            val aEnd = a.getAs[Long]("end_seq") * 256 + a.getAs[Long]("end_off")
+            val bStart =
+              b.getAs[Long]("start_seq") * 256 + b.getAs[Long]("start_off")
+            assert(bStart == aEnd + 1, s"gap between docs: $a -> $b")
+          case _ => ()
+        }
+      }
+    // the op is concat-and-chunk, not whole-doc binning: some document
+    // actually straddles a 256-token boundary
+    assert(out.exists(r =>
+      r.getAs[Long]("end_seq") > r.getAs[Long]("start_seq")))
+  }
+
   test("shard totals respect the greedy budget bound") {
     // greedy running-sum packing: a shard's total can exceed the budget by
     // at most its final document (the one that crossed the boundary), so
