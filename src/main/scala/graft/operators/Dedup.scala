@@ -626,12 +626,24 @@ object Dedup {
           col("simhash").as("sh_a"), col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"),
           col("simhash").as("sh_b"), col("bkey"))
+        // first-match band dedup, row-locally: a pair agreeing in band b is
+        // a duplicate iff it ALSO agreed in an earlier band — and both full
+        // signatures ride the row, so "agreed earlier" is a bit test, not a
+        // distinct(). Removes an output-sized exchange (the suite's largest:
+        // pair output grows with clique size², so at 100 TB that distinct
+        // would shuffle the whole result a second time).
+        val band = shiftright(col("bkey"), 16).cast("int")
+        val earlierAgree = (0 until 3).map { e =>
+          val sliceA = shiftright(col("sh_a"), 16 * e).bitwiseAND(lit(65535L))
+          val sliceB = shiftright(col("sh_b"), 16 * e).bitwiseAND(lit(65535L))
+          (band > e) && (sliceA === sliceB)
+        }.reduce(_ || _)
         a.join(c, Seq("bkey"))
           .filter(col("id_a") < col("id_b"))
+          .filter(!earlierAgree)
           .select(col("id_a"), col("id_b"),
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
           .filter(col("hamming") <= 16)
-          .distinct()
           .orderBy("id_a", "id_b")
       }),
 
