@@ -220,6 +220,79 @@ object Mix {
           .orderBy("epoch", "reader", "seq")
       }),
 
+    // --------------------------------------------------------------- X-mix 7
+    // Temperature-scaled RESAMPLING (materializing the mix x04 only weighs):
+    // each source's target row count is floor(N · p_s) with p_s ∝ n_s^0.7,
+    // met by repeating every doc `target div n` times plus a hash-threshold
+    // fractional epoch — doc_id's 40-bit md5 value against an integer
+    // threshold ⌊(target mod n) · 2^40 / n⌋. Selection is a pure per-row
+    // function (no per-source rank window, so no skew when one source is
+    // 100× another); the only aggregates are the |sources|-row weight table
+    // and the per-source audit counts this query emits.
+    QueryDef(
+      "x07_temperature_sample",
+      covers = "W6 A10 mix north-star",
+      oracle = Some("""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+                   GROUP BY source),
+        w AS (SELECT source, n_docs,
+                round(pow(n_docs, 0.7) /
+                      sum(pow(n_docs, 0.7)) OVER (), 6) AS p_sample,
+                sum(n_docs) OVER () AS n_total
+              FROM c),
+        t AS (SELECT source, n_docs, p_sample,
+                CAST(floor(n_total * p_sample) AS BIGINT) AS target
+              FROM w),
+        t2 AS (SELECT source, n_docs, p_sample, target,
+                 target // n_docs AS repeat_full,
+                 CAST(floor((target % n_docs) * 1099511627776.0 / n_docs)
+                   AS BIGINT) AS thr
+               FROM t),
+        sel AS (SELECT d.source,
+                  CASE WHEN ('0x' || substr(md5('x7|' || d.doc_id::VARCHAR),
+                              1, 10))::BIGINT < t2.thr
+                       THEN 1 ELSE 0 END AS picked
+                FROM documents d JOIN t2 ON d.source = t2.source),
+        f AS (SELECT source, CAST(sum(picked) AS BIGINT) AS n_frac
+              FROM sel GROUP BY source)
+        SELECT t2.source, t2.n_docs, t2.p_sample, t2.target, t2.repeat_full,
+               f.n_frac, t2.repeat_full * t2.n_docs + f.n_frac AS n_emitted
+        FROM t2 JOIN f ON t2.source = f.source
+        ORDER BY t2.source"""),
+      build = (s, d) => {
+        val wAll = Window.partitionBy()
+        val docs = Tables.documents(s, d)
+        val t = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("p_sample",
+            round(pow(col("n_docs"), lit(0.7)) /
+              sum(pow(col("n_docs"), lit(0.7))).over(wAll), 6))
+          .withColumn("target",
+            floor(sum(col("n_docs")).over(wAll) * col("p_sample"))
+              .cast("bigint"))
+          .withColumn("repeat_full", expr("target div n_docs"))
+          // integer threshold from a double product — exceeds 2^53 only past
+          // 2^13 docs/source × 2^40, where IEEE rounding is still identical
+          // in both engines (same two doubles, same product)
+          .withColumn("thr",
+            floor((col("target") % col("n_docs")).cast("double") *
+              lit(1099511627776.0) / col("n_docs").cast("double"))
+              .cast("bigint"))
+        val u40 = conv(substring(md5(concat(lit("x7|"),
+          col("doc_id").cast("string")).cast("binary")), 1, 10), 16, 10)
+          .cast("long")
+        val f = docs.select(col("source"), u40.as("u40"))
+          .join(broadcast(t.select("source", "thr")), Seq("source"))
+          .groupBy("source")
+          .agg(sum(when(col("u40") < col("thr"), 1L).otherwise(0L))
+            .cast("bigint").as("n_frac"))
+        t.join(f, Seq("source"))
+          .select(col("source"), col("n_docs"), col("p_sample"),
+            col("target"), col("repeat_full"), col("n_frac"),
+            (col("repeat_full") * col("n_docs") + col("n_frac"))
+              .as("n_emitted"))
+          .orderBy("source")
+      }),
+
     // --------------------------------------------------------------- X-mix 6
     // Fixed-length sequence packing (concat-and-chunk): the pretraining
     // loader's actual layout — documents are concatenated in a deterministic

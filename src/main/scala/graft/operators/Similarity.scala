@@ -742,6 +742,73 @@ object Similarity {
           .select(col("qid"), lit("pq_trained").as("method"),
             round(coalesce(col("n_hits"), lit(0)) / col("k"), 4).as("recall"))
           .orderBy("qid")
+      }),
+
+    // Cluster-balanced corpus pruning (the SemDeDup / cluster-pruning shape:
+    // Abbas et al. 2023 — embed, cluster, keep a per-cluster exemplar
+    // budget so no mode of the data dominates the mix): assign every
+    // embedding to its nearest coarse centroid (s04's deterministic
+    // md5-16-smallest quantizer, same codegen struct-min pass), join doc
+    // quality (n_chars as the proxy score), and keep the 8 highest-quality
+    // docs per cluster. Retention is a SALTED two-level top-k — each
+    // (cell, salt) keeps its own top-8, then the global top-8 ranks over
+    // ≤ salts×8 pre-pruned rows — so no reducer ever ranks a full cluster
+    // even when one cluster holds half the corpus. Emits each kept doc with
+    // its cluster's population (the prune-rate audit a curation run logs).
+    QueryDef(
+      "x08_cluster_prune",
+      covers = "north-star curation (cluster-balanced pruning)",
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                          - 1 AS cell, v AS cv
+                 FROM e),
+        c16 AS (SELECT cell, cv, list_dot_product(cv, cv) AS cc
+                FROM cent WHERE cell < 16),
+        assign AS (SELECT e.vec_id, c16.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY c16.cc - 2 * list_dot_product(e.v, c16.cv),
+                                c16.cell) AS crn
+                   FROM e, c16),
+        cellof AS (SELECT vec_id AS doc_id, cell FROM assign WHERE crn = 1),
+        j AS (SELECT co.cell, d.doc_id, d.n_chars
+              FROM cellof co JOIN documents d ON d.doc_id = co.doc_id),
+        sizes AS (SELECT cell, count(*) AS csize FROM j GROUP BY cell),
+        ranked AS (SELECT cell, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY cell
+                       ORDER BY n_chars DESC, doc_id) AS rn
+                   FROM j)
+        SELECT r.cell, r.rn, r.doc_id, r.n_chars, s.csize
+        FROM ranked r JOIN sizes s ON s.cell = r.cell
+        WHERE r.rn <= 8 ORDER BY r.cell, r.rn"""),
+      build = (s, d) => {
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          ArrayMath.dot(s, a, b)
+        val cents = coarseCentroids(s, d, 16)
+        def distStructs = cents.map { case (cell, c, cc) =>
+          struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(c)))
+            .as("dist"), lit(cell).as("cell"))
+        }
+        val j = Tables.embeddings(s, d)
+          .withColumn("cell",
+            array_min(array(distStructs: _*)).getField("cell"))
+          .select(col("vec_id").as("doc_id"), col("cell"))
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"),
+            Seq("doc_id"))
+        val sizes = j.groupBy("cell").agg(count(lit(1)).as("csize"))
+        val pre = j
+          .withColumn("rk1", row_number().over(
+            Window.partitionBy(col("cell"), pmod(col("doc_id"), lit(8)))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk1") <= 8).drop("rk1")
+        pre
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cell")
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rn") <= 8)
+          .join(broadcast(sizes), Seq("cell"))
+          .select("cell", "rn", "doc_id", "n_chars", "csize")
+          .orderBy("cell", "rn")
       })
   )
 

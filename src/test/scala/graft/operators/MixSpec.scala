@@ -119,6 +119,58 @@ class MixSpec extends SparkTestBase {
       r.getAs[Long]("end_seq") > r.getAs[Long]("start_seq")))
   }
 
+  test("temperature resampling meets its targets within the threshold's ±1") {
+    val q = Mix.defs.find(_.name == "x07_temperature_sample").get
+    val rows = q.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val (n, target) = (r.getAs[Long]("n_docs"), r.getAs[Long]("target"))
+      val (rep, frac) =
+        (r.getAs[Long]("repeat_full"), r.getAs[Long]("n_frac"))
+      assert(r.getAs[Long]("n_emitted") == rep * n + frac)
+      assert(rep == target / n)
+      // fractional epoch: hash-threshold selection from n docs never emits
+      // more than the epoch's pool
+      assert(frac >= 0 && frac <= n)
+    }
+    // α < 1 upweights small sources: smallest source is repeated at least
+    // as many times per doc as the largest
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+    val perDoc = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("n_emitted").toDouble / r.getAs[Long]("n_docs")
+    assert(perDoc(smallest) >= perDoc(largest) * 0.999)
+    // overall volume lands near N (each floor loses < 1 row per source)
+    val emitted = rows.map(_.getAs[Long]("n_emitted")).sum
+    assert(math.abs(emitted - nTotal) <= nTotal / 5,
+      s"resampled volume $emitted far from corpus size $nTotal")
+  }
+
+  test("cluster pruning keeps a bounded per-cluster budget of best docs") {
+    val q = graft.QueryDef.all.find(_.name == "x08_cluster_prune").get
+    val out = q.build(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("cell")).foreach { case (_, rows) =>
+      assert(rows.length <= 8)
+      // kept docs are ranked by quality (n_chars desc, doc_id asc)
+      val ordered = rows.sortBy(_.getAs[Int]("rn"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (qa, qb) = (a.getAs[Long]("n_chars"), b.getAs[Long]("n_chars"))
+          assert(qa > qb ||
+            (qa == qb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        case _ => ()
+      }
+      // a cluster never keeps more docs than it has
+      assert(rows.length <= rows.head.getAs[Long]("csize"))
+    }
+    // every corpus embedding is accounted to exactly one cluster
+    val popTotal = out.groupBy(_.getAs[Int]("cell"))
+      .map(_._2.head.getAs[Long]("csize")).sum
+    assert(popTotal == graft.Tables.embeddings(spark, dir).count())
+  }
+
   test("shard totals respect the greedy budget bound") {
     // greedy running-sum packing: a shard's total can exceed the budget by
     // at most its final document (the one that crossed the boundary), so
