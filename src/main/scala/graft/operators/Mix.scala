@@ -293,6 +293,99 @@ object Mix {
           .orderBy("source")
       }),
 
+    // --------------------------------------------------------------- X-mix 9
+    // Hashed-feature importance scoring (the DSIR shape: Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling" —
+    // score every raw document by how target-like its hashed n-gram
+    // distribution is, then keep the highest-importance slice). Tokens hash
+    // into 64 md5-derived buckets; the target distribution is the lang='en'
+    // slice of the corpus. Bucket log-ratio weights ln(p_tgt/p_src) are
+    // add-one smoothed and QUANTIZED to integer milli-units at the 64-row
+    // weight table, so the per-document score is an INTEGER dot product —
+    // no float ever sums across rows (the oracle-determinism house rule).
+    // Scale shape: two 64-row bucket aggregations (map-side combined), the
+    // weight table broadcast back over a (doc, bucket) aggregation, then a
+    // TakeOrdered top-50 ranked by the t08 broadcast pair-count trick — no
+    // global window, no driver loop; the corpus streams once.
+    QueryDef(
+      "x09_importance_resample",
+      covers = "W6 F6 A10 north-star (DSIR importance resampling)",
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, lang,
+                          unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        wb AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5('x9|' || tok), 1, 8))::BIGINT % 64 AS b
+               FROM w),
+        s_cnt AS (SELECT b, count(*) AS s_n FROM wb GROUP BY b),
+        t_cnt AS (SELECT b, count(*) AS t_n FROM wb WHERE lang = 'en'
+                  GROUP BY b),
+        tot AS (SELECT count(*) AS s_tot,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tot
+                FROM wb),
+        wt AS (SELECT s.b,
+                 CAST(round(1000 * ln(
+                     ((COALESCE(t.t_n, 0) + 1) * 1.0 / (tot.t_tot + 64)) /
+                     ((s.s_n + 1) * 1.0 / (tot.s_tot + 64))))
+                   AS BIGINT) AS w_milli
+               FROM s_cnt s LEFT JOIN t_cnt t USING (b), tot),
+        db AS (SELECT doc_id, b, count(*) AS n_b FROM wb
+               GROUP BY doc_id, b),
+        sc AS (SELECT db.doc_id,
+                 CAST(sum(db.n_b * wt.w_milli) AS BIGINT) AS score_milli,
+                 CAST(sum(db.n_b) AS BIGINT) AS n_tok
+               FROM db JOIN wt USING (b) GROUP BY db.doc_id),
+        top AS (SELECT doc_id, score_milli, n_tok FROM sc
+                ORDER BY score_milli DESC, doc_id LIMIT 50),
+        ranked AS (SELECT a.doc_id, a.score_milli, a.n_tok,
+                     1 + (SELECT count(*) FROM top b
+                          WHERE b.score_milli > a.score_milli
+                             OR (b.score_milli = a.score_milli
+                                 AND b.doc_id < a.doc_id)) AS rn
+                   FROM top a)
+        SELECT r.rn, r.doc_id, d.source, d.lang, r.n_tok, r.score_milli
+        FROM ranked r JOIN documents d USING (doc_id)
+        ORDER BY r.rn"""),
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val wb = docs
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            pmod(conv(substring(md5(concat(lit("x9|"), col("tok"))
+              .cast("binary")), 1, 8), 16, 10).cast("long"), lit(64)).as("b"))
+        val sCnt = wb.groupBy("b").agg(count(lit(1)).as("s_n"))
+        val tCnt = wb.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("t_n"))
+        val tots = wb.agg(count(lit(1)).as("s_tot"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tot"))
+        val wt = sCnt.join(tCnt, Seq("b"), "left")
+          .crossJoin(broadcast(tots))
+          .select(col("b"),
+            round(lit(1000) * log(
+              ((coalesce(col("t_n"), lit(0L)) + 1) * 1.0 / (col("t_tot") + 64)) /
+              ((col("s_n") + 1) * 1.0 / (col("s_tot") + 64))))
+              .cast("long").as("w_milli"))
+        val sc = wb.groupBy("doc_id", "b").agg(count(lit(1)).as("n_b"))
+          .join(broadcast(wt), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("n_b") * col("w_milli")).cast("long").as("score_milli"),
+            sum(col("n_b")).cast("long").as("n_tok"))
+        val top = sc.orderBy(col("score_milli").desc, col("doc_id")).limit(50)
+        val before = top.select(col("doc_id").as("id2"),
+          col("score_milli").as("sc2"))
+        val ranked = top.join(broadcast(before),
+            col("sc2") > col("score_milli") ||
+              (col("sc2") === col("score_milli") &&
+                col("id2") < col("doc_id")), "left")
+          .groupBy("doc_id", "score_milli", "n_tok")
+          .agg((count(col("id2")) + 1).as("rn"))
+        docs.select("doc_id", "source", "lang")
+          .join(broadcast(ranked), "doc_id")
+          .select("rn", "doc_id", "source", "lang", "n_tok", "score_milli")
+          .orderBy("rn")
+      }),
+
     // --------------------------------------------------------------- X-mix 6
     // Fixed-length sequence packing (concat-and-chunk): the pretraining
     // loader's actual layout — documents are concatenated in a deterministic

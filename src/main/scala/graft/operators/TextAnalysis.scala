@@ -351,6 +351,71 @@ object TextAnalysis {
             sum(when(col("tf") * 1000 < col("n"), 1).otherwise(0))
               .cast("bigint").as("n_rare"))
           .orderBy("doc_id")
+      }),
+
+    // BM25 keyword extraction: the classic retrieval score repurposed the
+    // way curation pipelines use it — surface each document's top-k most
+    // characteristic terms (tf saturated by k1=1.2, length-normalized by
+    // b=0.75 against the corpus mean). The idf factor stays the RAW ratio
+    // (N - df + 0.5)/(df + 0.5) rather than its logarithm: ln is monotone,
+    // so per-document ranking is identical, and the score stays a pure
+    // +,*,/ composition — IEEE-exact in both engines, so the 6dp rounding
+    // (applied BEFORE ranking, ties broken on tok) can never diverge.
+    // Scale shape: one (doc, tok) aggregation, dl as a doc-partitioned
+    // integer window over it (no second corpus pass, no doc-keyed join),
+    // the zipfian vocab broadcast back, one bounded per-doc top-k window.
+    QueryDef(
+      "t10_bm25_keywords",
+      covers = "T11 W1 F6 north-star (keyword extraction)",
+      oracle = Some("""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                   FROM documents),
+        wd AS (SELECT doc_id, tok, count(*) AS tfd FROM w GROUP BY doc_id, tok),
+        v AS (SELECT tok, count(DISTINCT doc_id) AS df FROM w GROUP BY tok),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      sum(tfd) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+               FROM wd),
+        sc AS (SELECT wd.doc_id, wd.tok, wd.tfd,
+                 round(((st.n_docs - v.df + 0.5) / (v.df + 0.5)) *
+                       ((wd.tfd * 2.2) /
+                        (wd.tfd + 1.2 * (0.25 + 0.75 *
+                          (sum(wd.tfd) OVER (PARTITION BY wd.doc_id)
+                             / st.avgdl)))), 6) AS bm25
+               FROM wd JOIN v USING (tok), st),
+        ranked AS (SELECT doc_id, tok, tfd, bm25,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY bm25 DESC, tok) AS rn
+                   FROM sc)
+        SELECT doc_id, rn, tok, tfd, bm25 FROM ranked
+        WHERE rn <= 5 ORDER BY doc_id, rn"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val w = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val wd = w.groupBy("doc_id", "tok").agg(count(lit(1)).as("tfd"))
+        val v = vocabFrame(s, d).select(col("tok"), col("df"))
+        val st = wd.agg(sum(col("tfd")).as("sum_dl"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+          .select(col("n_docs"),
+            (col("sum_dl") * 1.0 / col("n_docs")).as("avgdl"))
+        val wDoc = Window.partitionBy("doc_id")
+        val sc = wd
+          .withColumn("dl", sum(col("tfd")).over(wDoc))
+          .join(broadcast(v), "tok")
+          .crossJoin(broadcast(st))
+          .select(col("doc_id"), col("tok"), col("tfd"),
+            round(((col("n_docs") - col("df") + lit(0.5)) /
+                     (col("df") + lit(0.5))) *
+                  ((col("tfd") * lit(2.2)) /
+                   (col("tfd") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                     (col("dl") / col("avgdl"))))), 6).as("bm25"))
+        sc.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("bm25").desc, col("tok"))))
+          .filter(col("rn") <= 5)
+          .select("doc_id", "rn", "tok", "tfd", "bm25")
+          .orderBy("doc_id", "rn")
       })
   )
 }

@@ -171,6 +171,32 @@ class MixSpec extends SparkTestBase {
     assert(popTotal == graft.Tables.embeddings(spark, dir).count())
   }
 
+  test("importance scores rank target-language docs above the rest") {
+    val q = Mix.defs.find(_.name == "x09_importance_resample").get
+    val out = q.build(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    // rn is dense from 1 in (score_milli desc, doc_id) order
+    val ordered = out.sortBy(_.getAs[Long]("rn"))
+    assert(ordered.map(_.getAs[Long]("rn")).toSeq ==
+      (1L to out.length.toLong))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) =
+          (a.getAs[Long]("score_milli"), b.getAs[Long]("score_milli"))
+        assert(sa > sb ||
+          (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ => ()
+    }
+    // the importance weights are trained toward lang='en': the top slice
+    // must be en-enriched relative to the corpus base rate
+    val topEn = out.count(_.getAs[String]("lang") == "en").toDouble / out.length
+    val docs = graft.Tables.documents(spark, dir)
+    val baseEn = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(topEn > baseEn,
+      s"top-50 en share $topEn not above corpus base rate $baseEn")
+  }
+
   test("shard totals respect the greedy budget bound") {
     // greedy running-sum packing: a shard's total can exceed the budget by
     // at most its final document (the one that crossed the boundary), so

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Text-analysis invariants beyond what the sf oracles pin: BM25 keyword
+  * extraction semantics (budget, ranking monotonicity, idf direction). */
+class TextAnalysisSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25 keywords keep at most 5 ranked terms per document") {
+    val q = TextAnalysis.defs.find(_.name == "t10_bm25_keywords").get
+    val out = q.build(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      // rn is dense from 1 and follows (bm25 desc, tok) exactly
+      val ordered = rows.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq == (1 to rows.length))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("bm25"), b.getAs[Double]("bm25"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[String]("tok") < b.getAs[String]("tok")))
+        case _ => ()
+      }
+    }
+    // every document with text gets keywords
+    val nDocs = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).count()
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+  }
+
+  test("bm25 favors rarer terms at equal tf and doc length") {
+    // a term appearing in fewer documents must outscore a term with the
+    // same within-doc tf from the same doc (idf is strictly decreasing in
+    // df): check across the emitted rows of each doc
+    val q = TextAnalysis.defs.find(_.name == "t10_bm25_keywords").get
+    val out = q.build(spark, dir)
+    val v = TextAnalysis.vocabFrame(spark, dir).select("tok", "df")
+    val joined = out.join(v, "tok").collect()
+    joined.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      for {
+        a <- rows; b <- rows
+        if a.getAs[Long]("tfd") == b.getAs[Long]("tfd") &&
+          a.getAs[Long]("df") < b.getAs[Long]("df")
+      } assert(a.getAs[Double]("bm25") >= b.getAs[Double]("bm25"))
+    }
+  }
+}
