@@ -127,16 +127,19 @@ object Mix {
                      sum(pow(n_docs, 0.7)) OVER (), 6) AS p_sample
         FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
         ORDER BY source"""),
-      build = (s, d) =>
-        Tables.documents(s, d)
+      build = (s, d) => {
+        // the normalizer rides a broadcast 1-row aggregate, not a
+        // WindowExec that would drag the frame to a single partition —
+        // same values, Exchange-free shape
+        val c = Tables.documents(s, d)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"))
-          .withColumn("p_sample",
-            round(pow(col("n_docs"), lit(0.7)) /
-              sum(pow(col("n_docs"), lit(0.7)))
-                .over(org.apache.spark.sql.expressions.Window
-                  .partitionBy()), 6))
-          .orderBy("source")),
+        val z = c.agg(sum(pow(col("n_docs"), lit(0.7))).as("z"))
+        c.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"),
+            round(pow(col("n_docs"), lit(0.7)) / col("z"), 6).as("p_sample"))
+          .orderBy("source")
+      }),
 
     // --------------------------------------------------------------- X-mix 2
     // Token-budget shard manifest: greedy running-sum packing (the q04/W7
@@ -260,15 +263,17 @@ object Mix {
         FROM t2 JOIN f ON t2.source = f.source
         ORDER BY t2.source"""),
       build = (s, d) => {
-        val wAll = Window.partitionBy()
         val docs = Tables.documents(s, d)
-        val t = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val c = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        // normalizer + corpus size ride one broadcast 1-row aggregate (no
+        // single-partition WindowExec)
+        val z = c.agg(sum(pow(col("n_docs"), lit(0.7))).as("z"),
+          sum(col("n_docs")).as("n_total"))
+        val t = c.crossJoin(broadcast(z))
           .withColumn("p_sample",
-            round(pow(col("n_docs"), lit(0.7)) /
-              sum(pow(col("n_docs"), lit(0.7))).over(wAll), 6))
+            round(pow(col("n_docs"), lit(0.7)) / col("z"), 6))
           .withColumn("target",
-            floor(sum(col("n_docs")).over(wAll) * col("p_sample"))
-              .cast("bigint"))
+            floor(col("n_total") * col("p_sample")).cast("bigint"))
           .withColumn("repeat_full", expr("target div n_docs"))
           // integer threshold from a double product — exceeds 2^53 only past
           // 2^13 docs/source × 2^40, where IEEE rounding is still identical
