@@ -894,6 +894,130 @@ object Dedup {
           groupSize = 100, knownCount = Some(n))
           .withColumn("n_rounds", lit(nRounds))
           .orderBy("claim")
+      }),
+
+    // --------------------------------------------------- incremental ingest
+    // Delta dedup — the production shape of continuous corpus growth: a new
+    // batch (source='src19') arrives and every incoming doc gets an ingest
+    // DECISION against (a) the existing corpus through its persisted MinHash
+    // band index and (b) the rest of its own batch. Statuses, in precedence
+    // order: 'dup_of_corpus' (a verified corpus partner at jaccard ≥ 0.8;
+    // dup_of = the smallest such corpus doc), 'dup_in_batch' (no corpus
+    // partner, but a verified smaller doc inside the delta — first-writer
+    // wins within the batch), else 'new'. Scale shape: the corpus NEVER
+    // rescans — its side of the band join reads the memoized signature
+    // index (the one d14s maintains at ingest), the delta's fresh
+    // signatures broadcast (a delta is small by construction), and Jaccard
+    // verification touches only candidate ids. This is d08's
+    // decontamination join re-aimed at ingest and composed with a
+    // within-batch self-dedup and a keep/drop verdict per incoming row.
+    QueryDef(
+      "d15_delta_dedup",
+      covers = "X5 X1 north-star (incremental ingest)",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, source,
+                      list_distinct(list_transform(range(1, len(t)-1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        mh AS (SELECT doc_id, source,
+                      list_transform(range(0, 8), h ->
+                        list_min(list_transform(shingles,
+                          s -> md5(h::VARCHAR || '|' || s)))) AS sig
+               FROM sh),
+        bands AS (SELECT doc_id, source, b,
+                         md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+                  FROM mh, unnest([0, 1, 2, 3]) AS u(b)),
+        cand_c AS (SELECT DISTINCT n.doc_id, c.doc_id AS partner
+                   FROM bands n JOIN bands c
+                     ON n.bkey = c.bkey AND n.b = c.b
+                   WHERE n.source = 'src19' AND c.source <> 'src19'),
+        cand_d AS (SELECT DISTINCT n.doc_id, o.doc_id AS partner
+                   FROM bands n JOIN bands o
+                     ON n.bkey = o.bkey AND n.b = o.b
+                   WHERE n.source = 'src19' AND o.source = 'src19'
+                     AND o.doc_id < n.doc_id),
+        ver AS (SELECT u.doc_id, u.partner, u.kind,
+                       round(len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+                             len(list_distinct(
+                               list_concat(x.shingles, y.shingles))), 6)
+                         AS jaccard
+                FROM (SELECT doc_id, partner, 'corpus' AS kind FROM cand_c
+                      UNION ALL
+                      SELECT doc_id, partner, 'batch' AS kind FROM cand_d) u
+                JOIN sh x ON x.doc_id = u.doc_id
+                JOIN sh y ON y.doc_id = u.partner),
+        hits AS (SELECT doc_id, partner, kind, jaccard,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY CASE kind WHEN 'corpus' THEN 0 ELSE 1 END,
+                              partner) AS rn
+                 FROM ver WHERE jaccard >= 0.8),
+        delta AS (SELECT doc_id FROM documents WHERE source = 'src19')
+        SELECT d.doc_id,
+               CASE WHEN h.kind = 'corpus' THEN 'dup_of_corpus'
+                    WHEN h.kind = 'batch'  THEN 'dup_in_batch'
+                    ELSE 'new' END AS status,
+               COALESCE(h.partner, -1) AS dup_of,
+               COALESCE(h.jaccard, 0.0) AS jaccard
+        FROM delta d LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.rn = 1
+        ORDER BY d.doc_id"""),
+      build = (s, d) => {
+        import graft.functions.HashKernels
+        import org.apache.spark.sql.expressions.Window
+        val deltaSrc = "src19"
+        val docs = Tables.documents(s, d)
+        // corpus side: the persisted signature index, filtered — at scale
+        // this is an index read, not a corpus scan
+        val corpusBands = bandsOf(
+          sigFrame(s, d).filter(col("source") =!= deltaSrc)
+            .withColumnRenamed("doc_id", "partner"), "partner")
+        // delta side: newcomers are not in the index yet — sign them fresh
+        val deltaSig = docs.filter(col("source") === deltaSrc)
+          .select(col("doc_id"),
+            HashKernels.minhashSigCol(s, col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+        val deltaBands = bandsOf(deltaSig, "doc_id")
+        val candC = corpusBands.join(broadcast(deltaBands), Seq("b", "bkey"))
+          .select(col("doc_id"), col("partner")).distinct()
+          .withColumn("kind", lit("corpus"))
+        val candD = deltaBands
+          .join(broadcast(deltaBands
+            .select(col("doc_id").as("partner"), col("b"), col("bkey"))),
+            Seq("b", "bkey"))
+          .filter(col("partner") < col("doc_id"))
+          .select(col("doc_id"), col("partner")).distinct()
+          .withColumn("kind", lit("batch"))
+        val cand = candC.unionByName(candD)
+        def setsFor(ids: DataFrame, idName: String, setName: String) =
+          docs.join(ids, docs("doc_id") === ids(idName), "left_semi")
+            .select(col("doc_id").as(idName),
+              HashKernels.shinglesCol(s, col("text")).as(setName))
+            .filter(col(setName).isNotNull)
+        val x = setsFor(cand.select("doc_id").distinct(), "doc_id", "sh_n")
+        val y = setsFor(cand.select("partner").distinct(), "partner", "sh_p")
+        val ver = cand.join(broadcast(x), "doc_id").join(y, "partner")
+          .select(col("doc_id"), col("partner"), col("kind"),
+            round(size(array_intersect(col("sh_n"), col("sh_p"))) * 1.0 /
+              size(array_union(col("sh_n"), col("sh_p"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+        // best hit per incoming doc: corpus matches outrank batch matches,
+        // then smallest partner — the window partitions on doc_id, bounded
+        // by that doc's candidate count
+        val hits = ver.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(when(col("kind") === "corpus", 0).otherwise(1),
+                col("partner"))))
+          .filter(col("rn") === 1).drop("rn")
+        docs.filter(col("source") === deltaSrc).select("doc_id")
+          .join(broadcast(hits), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("kind") === "corpus", "dup_of_corpus")
+              .when(col("kind") === "batch", "dup_in_batch")
+              .otherwise("new").as("status"),
+            coalesce(col("partner"), lit(-1L)).as("dup_of"),
+            coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -113,6 +113,31 @@ class DedupSpec extends SparkTestBase {
       "earliest doc must keep exactly its distinct spans")
   }
 
+  test("d15: every delta doc gets exactly one well-formed ingest decision") {
+    val q = Dedup.defs.find(_.name == "d15_delta_dedup").get
+    val out = q.build(spark, dir).collect()
+    val deltaIds = graft.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("source") === "src19")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == deltaIds)
+    assert(out.length == deltaIds.size)
+    out.foreach { r =>
+      val (st, dup, j) = (r.getAs[String]("status"),
+        r.getAs[Long]("dup_of"), r.getAs[Double]("jaccard"))
+      st match {
+        case "new" =>
+          assert(dup == -1L && j == 0.0)
+        case "dup_in_batch" =>
+          // first-writer wins: the kept partner is a SMALLER delta doc
+          assert(deltaIds.contains(dup) && dup < r.getAs[Long]("doc_id"))
+          assert(j >= 0.8)
+        case "dup_of_corpus" =>
+          assert(!deltaIds.contains(dup) && j >= 0.8)
+        case other => fail(s"unexpected status $other")
+      }
+    }
+  }
+
   test("random graphs agree with a reference union-find (50 seeds)") {
     val rnd = new scala.util.Random(42)
     (1 to 50).foreach { trial =>

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [only1,only2,...]
 
 Loads each <name>/ parquet result written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables, and
@@ -34,13 +34,15 @@ def canon(rows):
     return out
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql)
@@ -78,4 +80,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
