@@ -322,20 +322,21 @@ object Mix {
         wb AS (SELECT doc_id, lang,
                  ('0x' || substr(md5('x9|' || tok), 1, 8))::BIGINT % 64 AS b
                FROM w),
-        s_cnt AS (SELECT b, count(*) AS s_n FROM wb GROUP BY b),
-        t_cnt AS (SELECT b, count(*) AS t_n FROM wb WHERE lang = 'en'
-                  GROUP BY b),
-        tot AS (SELECT count(*) AS s_tot,
-                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tot
-                FROM wb),
+        db AS (SELECT doc_id, lang, b, count(*) AS n_b FROM wb
+               GROUP BY doc_id, lang, b),
+        s_cnt AS (SELECT b, CAST(sum(n_b) AS BIGINT) AS s_n FROM db GROUP BY b),
+        t_cnt AS (SELECT b, CAST(sum(n_b) AS BIGINT) AS t_n FROM db
+                  WHERE lang = 'en' GROUP BY b),
+        tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS s_tot,
+                       CAST(sum(CASE WHEN lang = 'en' THEN n_b ELSE 0 END)
+                         AS BIGINT) AS t_tot
+                FROM db),
         wt AS (SELECT s.b,
                  CAST(round(1000 * ln(
                      ((COALESCE(t.t_n, 0) + 1) * 1.0 / (tot.t_tot + 64)) /
                      ((s.s_n + 1) * 1.0 / (tot.s_tot + 64))))
                    AS BIGINT) AS w_milli
                FROM s_cnt s LEFT JOIN t_cnt t USING (b), tot),
-        db AS (SELECT doc_id, b, count(*) AS n_b FROM wb
-               GROUP BY doc_id, b),
         sc AS (SELECT db.doc_id,
                  CAST(sum(db.n_b * wt.w_milli) AS BIGINT) AS score_milli,
                  CAST(sum(db.n_b) AS BIGINT) AS n_tok
@@ -359,11 +360,22 @@ object Mix {
           .select(col("doc_id"), col("lang"),
             pmod(conv(substring(md5(concat(lit("x9|"), col("tok"))
               .cast("binary")), 1, 8), 16, 10).cast("long"), lit(64)).as("b"))
-        val sCnt = wb.groupBy("b").agg(count(lit(1)).as("s_n"))
-        val tCnt = wb.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("t_n"))
-        val tots = wb.agg(count(lit(1)).as("s_tot"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tot"))
+        // ONE corpus explode feeds everything: the (doc, lang, bucket)
+        // aggregation's exchange is shared by all four consumers below
+        // (ReuseExchange), so the token scan + md5 kernel runs once, and
+        // the distribution/weight aggregates read ≤64·|docs| compact rows
+        // lazy-checkpointed: Catalyst only reuses identical exchanges, and
+        // the four consumers aggregate db differently — without the cut the
+        // token explode + md5 kernel re-runs per consumer (12-scan plan)
+        val db = wb.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("n_b"))
+          .localCheckpoint(false)
+        val sCnt = db.groupBy("b").agg(sum(col("n_b")).cast("long").as("s_n"))
+        val tCnt = db.filter(col("lang") === "en")
+          .groupBy("b").agg(sum(col("n_b")).cast("long").as("t_n"))
+        val tots = db.agg(sum(col("n_b")).cast("long").as("s_tot"),
+          sum(when(col("lang") === "en", col("n_b")).otherwise(0L))
+            .cast("long").as("t_tot"))
         val wt = sCnt.join(tCnt, Seq("b"), "left")
           .crossJoin(broadcast(tots))
           .select(col("b"),
@@ -371,7 +383,7 @@ object Mix {
               ((coalesce(col("t_n"), lit(0L)) + 1) * 1.0 / (col("t_tot") + 64)) /
               ((col("s_n") + 1) * 1.0 / (col("s_tot") + 64))))
               .cast("long").as("w_milli"))
-        val sc = wb.groupBy("doc_id", "b").agg(count(lit(1)).as("n_b"))
+        val sc = db
           .join(broadcast(wt), "b")
           .groupBy("doc_id")
           .agg(sum(col("n_b") * col("w_milli")).cast("long").as("score_milli"),
