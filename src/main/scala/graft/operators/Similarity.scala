@@ -159,11 +159,15 @@ object Similarity {
     trainedCwCache.computeIfAbsent(d, _ => {
       val ds = subDims(s, d)
       val sampled = sampledCodebooks(s, d)
-      (0 until 4).map { m =>
-        val sub = Tables.embeddings(s, d)
-          .select(slice(col("embedding"), m * ds + 1, ds).as("embedding"))
-        lloydRefine(sub, sampled(m).map(_._1), iters = 4).map(withNorm)
-      }
+      // all 4 sub-quantizers train in ONE pass per Lloyd iteration over a
+      // cached RDD (4 jobs, 1 parquet read) instead of 4 independent
+      // trainings (16 jobs, 16 reads). Per-accumulator addend order is
+      // unchanged — each sub-block sums the same values in the same
+      // partition order — so the codebooks (and the s10 fixture) are
+      // bit-identical to the per-m path, which lloydRefine keeps for the
+      // spec cross-check.
+      lloydRefineAll(Tables.embeddings(s, d).select(col("embedding")),
+        sampled.map(_.map(_._1)), ds, iters = 4).map(_.map(withNorm))
     })
 
   /** ADC candidate cost: 4 table lookups + 3 adds, summed in the oracle's
@@ -919,6 +923,76 @@ object Similarity {
       bc.destroy()
     }
     cents.map(_.toSeq).toSeq
+  }
+
+  /** As [[lloydRefine]], but trains all M sub-quantizers simultaneously:
+    * one treeAggregate per iteration over the full embedding rows (sliced
+    * per sub-block inside the combiner) against M×k accumulators, with the
+    * row RDD cached across iterations. Same arithmetic per sub-block →
+    * same centroids; 4× fewer jobs and 16× fewer input reads. */
+  def lloydRefineAll(
+      e: org.apache.spark.sql.DataFrame,
+      init: Seq[Seq[Seq[Double]]],
+      ds: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val sc = e.sparkSession.sparkContext
+    val data = e.select(col("embedding")).toDoubleRdd()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mCount = init.length
+    var cents: Array[Array[Array[Double]]] =
+      init.map(_.map(_.toArray).toArray).toArray
+    val k = cents(0).length
+    (1 to iters).foreach { _ =>
+      val bc = sc.broadcast(cents)
+      val (sums, counts) = data.treeAggregate(
+        (Array.fill(mCount, k)(new Array[Double](ds)),
+          Array.fill(mCount)(new Array[Long](k))))(
+        seqOp = { case ((sm, ct), v) =>
+          val cs = bc.value
+          var m = 0
+          while (m < mCount) {
+            val off = m * ds
+            var best = 0; var bestD = Double.MaxValue
+            var i = 0
+            while (i < k) {
+              var dist = 0.0; var j = 0
+              while (j < ds) {
+                val t = v(off + j) - cs(m)(i)(j); dist += t * t; j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = i }
+              i += 1
+            }
+            var j = 0
+            while (j < ds) { sm(m)(best)(j) += v(off + j); j += 1 }
+            ct(m)(best) += 1
+            m += 1
+          }
+          (sm, ct)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var m = 0
+          while (m < mCount) {
+            var i = 0
+            while (i < k) {
+              var j = 0
+              while (j < ds) { s1(m)(i)(j) += s2(m)(i)(j); j += 1 }
+              c1(m)(i) += c2(m)(i); i += 1
+            }
+            m += 1
+          }
+          (s1, c1)
+        })
+      cents = Array.tabulate(mCount) { m =>
+        Array.tabulate(k) { i =>
+          if (counts(m)(i) == 0) cents(m)(i)
+          else Array.tabulate(ds)(j =>
+            math.rint(sums(m)(i)(j) / counts(m)(i) * 1e9) / 1e9)
+        }
+      }
+      bc.destroy()
+    }
+    data.unpersist(blocking = false)
+    cents.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** Embedding rows as a double-array RDD (helper for [[lloydRefine]]). */
