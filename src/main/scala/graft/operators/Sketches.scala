@@ -234,6 +234,85 @@ object Sketches {
           .orderBy("pct")
       }),
 
+    // Per-key quantile sketches — the production monitor shape: one
+    // histogram per event_type on the SHARED deploy-time grid (the same
+    // memoized [lo, hi] the global sketch and the stream job read), so
+    // sketches of different keys — and of the same key across days — merge
+    // by addition. Cumulative counts are an integer running sum over the
+    // ≤256-row per-key partition (bounded window, never global); per-key
+    // rank targets stay integer ((n·pct + 99) div 100). At 100 TB this is
+    // |keys|×256 integer rows of state — constant per key regardless of
+    // input volume.
+    QueryDef(
+      "q47_grouped_quantiles",
+      covers = "A7 D9 Q31 north-star (per-key monitor)",
+      oracle = Some("""
+        WITH v AS (SELECT event_type, value FROM events
+                   WHERE value IS NOT NULL),
+        b AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+        h AS (SELECT event_type,
+                     least(255, greatest(0,
+                       CAST(floor((value - lo) /
+                         (CASE WHEN hi > lo THEN hi - lo ELSE 1 END) * 256)
+                         AS BIGINT)))
+                       AS bucket,
+                     count(*) AS cnt
+              FROM v, b GROUP BY event_type, bucket),
+        c AS (SELECT event_type, bucket, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM h),
+        n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h
+              GROUP BY event_type),
+        q AS (SELECT * FROM (VALUES (50), (90), (99)) t(pct)),
+        tr AS (SELECT n.event_type, q.pct,
+                      CAST((n.n * q.pct + 99) // 100 AS BIGINT) AS target_rank
+               FROM q, n)
+        SELECT tr.event_type, tr.pct, tr.target_rank, c.bucket,
+               round(b.lo + (c.bucket +
+                       (tr.target_rank - (c.cum - c.cnt)) * 1.0 / c.cnt)
+                     * ((b.hi - b.lo) / 256), 6) AS est
+        FROM tr
+        JOIN c ON c.event_type = tr.event_type
+              AND tr.target_rank > c.cum - c.cnt AND tr.target_rank <= c.cum
+        CROSS JOIN b
+        ORDER BY tr.event_type, tr.pct"""),
+      build = (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val bounds = eventBounds(s, d)
+        val h = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            bucketCol(col("value"), col("lo"), col("hi")).as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+        val cum = h.withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        val nk = h.groupBy("event_type").agg(sum(col("cnt")).cast("long").as("n"))
+        val targets = nk.crossJoin(broadcast(Seq(50, 90, 99).toDF("pct")))
+          .select(col("event_type"), col("pct"),
+            expr("CAST((n * pct + 99) div 100 AS BIGINT)").as("target_rank"))
+        targets
+          .join(broadcast(cum.withColumnRenamed("event_type", "et2")),
+            col("et2") === col("event_type") &&
+              col("target_rank") > col("cum") - col("cnt") &&
+              col("target_rank") <= col("cum"))
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("pct"), col("target_rank"),
+            col("bucket"),
+            round(col("lo") + (col("bucket") +
+                (col("target_rank") - (col("cum") - col("cnt"))) * lit(1.0)
+                  / col("cnt"))
+              * ((col("hi") - col("lo")) / HistBuckets), 6).as("est"))
+          .orderBy("event_type", "pct")
+      }),
+
     // Heavy hitters through the count-min sketch: the sketch answers "how
     // often did I see tok?" with guaranteed est ≥ tf. The output reports
     // the exact top-50 tokens (vocab frame) next to their CMS estimates and

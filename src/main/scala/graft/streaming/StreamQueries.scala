@@ -239,6 +239,39 @@ object StreamQueries {
           .orderBy("bucket")
       }),
 
+    // Streaming per-key histogram maintenance (q47's state at ingest): the
+    // keyed face of q43s — one integer bucket vector per event_type on the
+    // shared deploy-time grid, merged into the state store by addition each
+    // micro-batch. State is |keys|×256 integer rows regardless of volume;
+    // a bounded run equals the batch per-key sketch (oracle-checked).
+    QueryDef(
+      "q47s_stream_keyed_histogram",
+      covers = "D9 A7 streaming north-star (per-key monitor)",
+      oracle = Some("""
+        WITH v AS (SELECT event_type, value FROM events
+                   WHERE value IS NOT NULL),
+        b AS (SELECT min(value) AS lo, max(value) AS hi FROM v)
+        SELECT event_type,
+               least(255, greatest(0,
+                 CAST(floor((value - lo) /
+                   (CASE WHEN hi > lo THEN hi - lo ELSE 1 END) * 256)
+                   AS BIGINT)))
+                 AS bucket,
+               count(*) AS cnt
+        FROM v, b GROUP BY event_type, bucket
+        ORDER BY event_type, bucket"""),
+      build = (s, d) => {
+        val r = graft.operators.Sketches.eventBounds(s, d).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"q47s: events.value in $d has no non-null rows — " +
+            "cannot fix the sketch domain [lo, hi]")
+        Streams.runToMemory(
+          Streams.keyedHistogramCounts(
+            Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),
+          unique("q47s"))
+          .orderBy("event_type", "bucket")
+      }),
+
     // Streaming KMV-distinct maintenance (q45's state at ingest): per group
     // the state is the ≤k smallest distinct 60-bit hashes — a mergeable
     // sketch like the histogram/CMS twins, but its merge is "k smallest of

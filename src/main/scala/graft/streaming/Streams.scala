@@ -334,6 +334,24 @@ object Streams {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-key face of [[histogramCounts]] (Sketches q47's state): one
+    * bucket-count vector per event_type on the same shared grid, all
+    * merging into the state store by addition — |keys|×256 integer rows of
+    * state regardless of input volume. */
+  def keyedHistogramCounts(
+      events: DataFrame,
+      lo: Double,
+      hi: Double,
+      buckets: Int = 256): DataFrame = {
+    val span = if (hi > lo) hi - lo else 1.0
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(lit(buckets - 1L), greatest(lit(0L),
+          floor((col("value") - lit(lo)) / lit(span) * buckets)))
+          .cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming maintenance of the count-min sketch (Sketches q44's state)
     * at ingest: every arriving doc's tokens explode into their (row,
     * bucket) coordinates via the shared one-digest md5 kernel, and the

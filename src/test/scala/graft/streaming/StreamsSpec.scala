@@ -352,6 +352,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("keyed histogram: counters accumulate per key and keys stay isolated") {
+    // the q47s state: one bucket vector PER event_type on the shared grid;
+    // a later batch adds into its own key's counters and no other's
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = Streams.keyedHistogramCounts(
+      input.toDF.toDF("event_type", "value"), lo = 0.0, hi = 256.0)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("kh_acc").start()
+    try {
+      input.addData(("click", 5.5), ("click", 5.9), ("view", 5.5))
+      q.processAllAvailable()
+      input.addData(("click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("kh_acc").collect()
+        .groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+      assert(rows(("click", 5L)) == 3L,
+        s"click bucket 5 did not accumulate: $rows")
+      assert(rows(("view", 5L)) == 1L,
+        s"view bucket 5 leaked another key's adds: $rows")
+    } finally q.stop()
+  }
+
   test("KMV maintenance: minima ACCUMULATE across triggers, dedupe, and " +
     "stay bounded at k") {
     // the q45s state: per group, the ≤k smallest DISTINCT hashes of
