@@ -370,6 +370,43 @@ object StreamQueries {
           .filter(col("rn") === 1)
           .select(col("prio"), explode(col("minima")).as("h"))
         graft.operators.Sketches.thetaSetOps(finalSk).orderBy("pa", "pb")
+      }),
+
+    // Streaming quota sampling (Mix x01's reservoir at ingest): per source
+    // the state is the quota best A-Res entries seen so far — the
+    // mix-family face of the bounded-state pattern (k-minima → weighted
+    // reservoir). The ares key is computed by the SAME Spark expression as
+    // batch x01, versioned update emissions, final state = max-version
+    // row per source; a bounded run equals the batch sample, which the
+    // (shared) x01 oracle checks.
+    QueryDef(
+      "x10s_stream_quota",
+      covers = "W6 W5 D9 streaming mix north-star",
+      oracle = Some("""
+        SELECT source, rn, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                   pow(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+                       1.0 / n_chars) DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY source, rn"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+          lit(4294967296.0)
+        val stream = Streams.documentsStream(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            pow(u, lit(1.0) / col("n_chars")).as("ares"))
+        val updates = Streams.runToMemory(
+          Streams.quotaUpdates(stream), unique("x10s"), mode = "update")
+        updates
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("ver").desc)))
+          .filter(col("rk") === 1)
+          .select(col("source"), posexplode(col("entries")))
+          .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+            col("col._2").as("doc_id"), col("col._3").as("n_chars"))
+          .orderBy("source", "rn")
       })
   )
 }

@@ -426,6 +426,49 @@ object Streams {
       .toDF("prio", "ver", "n_kept", "hk", "minima")
   }
 
+  /** Streaming A-Res quota maintenance (Mix x01's reservoir at ingest):
+    * per source, the state is the quota best (ares DESC, doc_id ASC)
+    * entries seen so far — a bounded weighted reservoir, the mix-family
+    * sibling of [[kmvUpdates]]'s k-minima. The ares key arrives as a
+    * column (computed by the SAME Spark expression as the batch query),
+    * so the state function only compares; a bounded run's final state
+    * equals batch x01, which the oracle checks. */
+  def quotaUpdates(
+      keyed: DataFrame, // source STRING, doc_id LONG, n_chars LONG, ares DOUBLE
+      quota: Int = 10): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    // best-first ordering: larger ares wins, doc_id breaks ties
+    implicit val ord: Ordering[(Double, Long, Long)] =
+      Ordering.by { case (ares, id, _) => (-ares, id) }
+    keyed
+      .select(col("source"), col("doc_id"), col("n_chars"), col("ares"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Seq[(Double, Long, Long)], Long),
+        (String, Long, Seq[(Double, Long, Long)])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (source, rows, state) =>
+          val (kept, version) =
+            state.getOption.getOrElse((Seq.empty[(Double, Long, Long)], 0L))
+          val set = scala.collection.mutable.TreeSet[(Double, Long, Long)](
+            kept: _*)
+          rows.foreach { case (_, id, nc, ares) =>
+            val e = (ares, id, nc)
+            if (set.size < quota || ord.lt(e, set.lastKey)) {
+              set += e
+              if (set.size > quota) set -= set.lastKey
+            }
+          }
+          val v = version + 1
+          state.update((set.toSeq, v))
+          Iterator((source, v, set.toSeq))
+      }
+      .toDF("source", "ver", "entries")
+  }
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */

@@ -352,6 +352,33 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quota reservoir: better arrivals evict, worse ones bounce, state " +
+    "stays bounded") {
+    // the x10s state: per source, the quota best (ares desc, doc_id asc)
+    // entries of everything seen so far
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val out = Streams.quotaUpdates(
+      input.toDF.toDF("source", "doc_id", "n_chars", "ares"), quota = 2)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("quota_acc").start()
+    try {
+      input.addData(("a", 1L, 10L, 0.5), ("a", 2L, 10L, 0.3))
+      q.processAllAvailable()
+      // batch 2: 0.7 evicts the 0.3; 0.1 bounces off a full reservoir
+      input.addData(("a", 3L, 10L, 0.7), ("a", 4L, 10L, 0.1))
+      q.processAllAvailable()
+      val fin = spark.table("quota_acc").collect()
+        .filter(_.getLong(1) == 2L).head
+        .getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(fin == Seq((0.7, 3L), (0.5, 1L)),
+        s"expected best-2 reservoir, got $fin")
+    } finally q.stop()
+  }
+
   test("keyed histogram: counters accumulate per key and keys stay isolated") {
     // the q47s state: one bucket vector PER event_type on the shared grid;
     // a later batch adds into its own key's counters and no other's
