@@ -24,6 +24,7 @@ object QueryDef {
       operators.Skew.defs ++
       operators.AsOf.defs ++
       operators.TextAnalysis.defs ++
+      operators.Tokenize.defs ++
       operators.Dedup.defs ++
       operators.Mix.defs ++
       operators.Sketches.defs ++
