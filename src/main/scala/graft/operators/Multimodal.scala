@@ -326,6 +326,42 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash of an image: 9×8 nearest-neighbor downscale →
+    * integer luma (299R + 587G + 114B, no division — scale-free compare) →
+    * bit i = luma(x+1, y) > luma(x, y). All integer arithmetic on decoded
+    * pixels, so equal images hash equal on any JVM and near-duplicates
+    * (small pixel perturbations) land within a few bits. */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val luma = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < gh) {
+      val sy = y * img.getHeight / gh
+      var x = 0
+      while (x < gw) {
+        val sx = x * img.getWidth / gw
+        val rgb = img.getRGB(sx, sy)
+        luma(y)(x) = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var bit = 0
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (luma(y)(x + 1) > luma(y)(x)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Binary-column metadata path — deterministic, so oracle-checked.
     QueryDef(
@@ -363,6 +399,57 @@ object Multimodal {
             sum(col("n_bytes")).as("total_bytes"),
             round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
           .orderBy("kind")
+      }),
+
+    // Perceptual-hash image dedup — the multimodal face of d04: decode
+    // each image for REAL, difference-hash it (9×8 nearest-neighbor
+    // downscale → integer luma → 64 horizontal-gradient bits; all integer
+    // arithmetic, so the hash is deterministic), then the SAME
+    // hamming-banding plan as text SimHash: 4×16-bit band keys, first-match
+    // band join, full-hamming verify at ≤ 6 bits (Spark's codegen
+    // bit_count over xor), connected components, min-id representative.
+    // The corpus never pairs all-to-all — candidates come from band
+    // buckets, the d04 scale argument verbatim. Decode isn't
+    // SQL-expressible, so the sf0.01 output is fixture-pinned; the dedup
+    // semantics are spec-pinned on constructed near-duplicate images.
+    QueryDef(
+      "m03_image_phash_dedup",
+      covers = "X5 north-star multimodal (perceptual dedup)",
+      oracle = Some("""
+        -- regression pin (sf0.01): real PNG decode + dHash, no SQL twin
+        SELECT * FROM read_parquet('/root/repo/fixtures/m03_image_phash_dedup.parquet')
+        ORDER BY media_id"""),
+      build = (s, d) => {
+        import s.implicits._
+        val hashes = mediaTable(s, d)
+          .filter(_.kind == "image")
+          .map(m => (m.media_id, dhash64(
+            javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload)))))
+          .toDF("media_id", "dhash")
+        val bands = hashes.select(col("media_id"), col("dhash"),
+          posexplode(array((0 until 4).map(b =>
+            pmod(shiftright(col("dhash"), b * 16), lit(65536L))): _*)))
+          .select(col("media_id"), col("dhash"),
+            (col("pos") * lit(65536L) + col("col")).as("bkey"))
+        val right = bands.select(col("bkey"),
+          col("media_id").as("mb"), col("dhash").as("hb"))
+        val pairs = bands.join(right, Seq("bkey"))
+          .filter(col("media_id") < col("mb"))
+          // first-match band semantics (d04): one row per candidate pair
+          .groupBy("media_id", "mb", "dhash", "hb").agg(count(lit(1)).as("nb"))
+          .filter(expr("bit_count(dhash ^ hb)") <= 6)
+          .select(col("media_id").as("a"), col("mb").as("b"))
+        val comp = Dedup.connectedComponents(
+          pairs.select(col("a").as("src"), col("b").as("dst")))
+        hashes
+          .join(comp.withColumnRenamed("id", "media_id")
+            .withColumnRenamed("label", "comp"), Seq("media_id"), "left")
+          .select(col("media_id"), col("dhash"),
+            coalesce(col("comp"), col("media_id")).as("component"),
+            when(col("comp").isNull || col("comp") === col("media_id"), 1)
+              .otherwise(0).as("keep"))
+          .orderBy("media_id")
       })
   )
 }

@@ -105,6 +105,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.select("media_id").distinct().count() <= nVideos)
   }
 
+  test("dhash: equal images hash equal, perturbed ones land within bits, " +
+    "unrelated ones far") {
+    // the synthetic pixel pattern has period 256 in id and the dims period
+    // divides 768, so ids 768 apart produce IDENTICAL images — the dup
+    // families m03 finds at sf0.1
+    val a = Multimodal.dhash64(Multimodal.synthImage(5, 16, 12))
+    val b = Multimodal.dhash64(Multimodal.synthImage(5 + 768, 16, 12))
+    assert(a == b)
+    // small perturbation: a few pixels nudged -> within the ≤6-bit gate
+    val img = Multimodal.synthImage(5, 16, 12)
+    val rgb = img.getRGB(3, 3)
+    img.setRGB(3, 3, rgb ^ 0x040404)
+    val h2 = Multimodal.dhash64(img)
+    assert(java.lang.Long.bitCount(a ^ h2) <= 6,
+      s"perturbed hamming ${java.lang.Long.bitCount(a ^ h2)}")
+    // unrelated image: well past the gate
+    val c = Multimodal.dhash64(Multimodal.synthImage(6, 16, 12))
+    assert(java.lang.Long.bitCount(a ^ c) > 6,
+      s"unrelated hamming ${java.lang.Long.bitCount(a ^ c)}")
+  }
+
+  test("m03 emits one well-formed decision per image") {
+    // the synthetic images are striped gradients — a corpus RICH in true
+    // perceptual near-dups — so components merge even at sf0.001; assert
+    // the decision structure, not singleton-ness
+    val q = Multimodal.defs.find(_.name == "m03_image_phash_dedup").get
+    val out = q.build(spark, dir).collect()
+    val nImages = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "image").count()
+    assert(out.length == nImages)
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    out.foreach { r =>
+      val (id, comp, keep) = (r.getAs[Long]("media_id"),
+        r.getAs[Long]("component"), r.getAs[Int]("keep"))
+      // representative = component min, kept exactly when representative
+      assert(comp <= id)
+      assert(keep == (if (comp == id) 1 else 0))
+      // every dropped image points at a kept representative
+      if (keep == 0) assert(byId(comp).getAs[Int]("keep") == 1)
+    }
+    // identical hashes always share a component (exact dups never split)
+    out.groupBy(_.getAs[Long]("dhash")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("component")).distinct.length == 1)
+    }
+    // and some image survives
+    assert(out.exists(_.getAs[Int]("keep") == 1))
+  }
+
   test("resize rewrites metadata; images re-encode at the new dims") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, 64, 48)
