@@ -421,33 +421,44 @@ object Multimodal {
         ORDER BY media_id"""),
       build = (s, d) => {
         import s.implicits._
+        // lazy-checkpointed: the decode+hash pass feeds the distinct-hash
+        // graph AND the final per-image join — one decode, not one per
+        // consumer
         val hashes = mediaTable(s, d)
           .filter(_.kind == "image")
           .map(m => (m.media_id, dhash64(
             javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(m.payload)))))
           .toDF("media_id", "dhash")
-        val bands = hashes.select(col("media_id"), col("dhash"),
+          .localCheckpoint(false)
+        // collapse identical hashes FIRST (hid = the group's min id): the
+        // banding graph runs over DISTINCT hashes, so an exact-dup family
+        // of any size costs one node — and the component label (min
+        // reachable hid) is still the global min media_id, so the output
+        // is identical to pairing raw images, at a fraction of the edges
+        val uniq = hashes.groupBy("dhash").agg(min(col("media_id")).as("hid"))
+        val bands = uniq.select(col("hid"), col("dhash"),
           posexplode(array((0 until 4).map(b =>
             pmod(shiftright(col("dhash"), b * 16), lit(65536L))): _*)))
-          .select(col("media_id"), col("dhash"),
+          .select(col("hid"), col("dhash"),
             (col("pos") * lit(65536L) + col("col")).as("bkey"))
         val right = bands.select(col("bkey"),
-          col("media_id").as("mb"), col("dhash").as("hb"))
+          col("hid").as("mb"), col("dhash").as("hb"))
         val pairs = bands.join(right, Seq("bkey"))
-          .filter(col("media_id") < col("mb"))
+          .filter(col("hid") < col("mb"))
           // first-match band semantics (d04): one row per candidate pair
-          .groupBy("media_id", "mb", "dhash", "hb").agg(count(lit(1)).as("nb"))
+          .groupBy("hid", "mb", "dhash", "hb").agg(count(lit(1)).as("nb"))
           .filter(expr("bit_count(dhash ^ hb)") <= 6)
-          .select(col("media_id").as("a"), col("mb").as("b"))
+          .select(col("hid").as("a"), col("mb").as("b"))
         val comp = Dedup.connectedComponents(
           pairs.select(col("a").as("src"), col("b").as("dst")))
         hashes
-          .join(comp.withColumnRenamed("id", "media_id")
-            .withColumnRenamed("label", "comp"), Seq("media_id"), "left")
+          .join(uniq, Seq("dhash"))
+          .join(comp.withColumnRenamed("id", "hid")
+            .withColumnRenamed("label", "comp"), Seq("hid"), "left")
           .select(col("media_id"), col("dhash"),
-            coalesce(col("comp"), col("media_id")).as("component"),
-            when(col("comp").isNull || col("comp") === col("media_id"), 1)
+            coalesce(col("comp"), col("hid")).as("component"),
+            when(coalesce(col("comp"), col("hid")) === col("media_id"), 1)
               .otherwise(0).as("keep"))
           .orderBy("media_id")
       })
