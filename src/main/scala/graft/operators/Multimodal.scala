@@ -326,6 +326,96 @@ object Multimodal {
     }
   }
 
+  /** Decode a WAV payload to normalized [-1, 1] mono samples through
+    * `javax.sound.sampled` — the same REAL codec path as
+    * [[decodeFeatures]]'s audio branch. */
+  def decodeWavSamples(payload: Array[Byte]): Array[Float] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    ais.close()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(
+      if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(2 * i) / 32768f; i += 1 }
+    out
+  }
+
+  /** 64-bit spectral-contour fingerprint of a waveform: Goertzel band
+    * energies at 65 log-spaced frequencies (150 Hz → 3 kHz), bit b =
+    * energy(b+1) > energy(b) — the audio face of [[dhash64]]'s gradient
+    * sign trick (a Chromaprint-style filterbank contour, not a sample
+    * hash). `StrictMath` keeps the trig bit-exact on every JVM, so equal
+    * waveforms fingerprint equal anywhere and near-identical tones (same
+    * pitch, slightly different take/length) land within a few bits while
+    * unrelated pitches flip many. */
+  def afp64(samples: Array[Float], sampleRate: Float): Long = {
+    val bands = 65
+    val e = new Array[Double](bands)
+    var b = 0
+    while (b < bands) {
+      val f = 150.0 * StrictMath.pow(20.0, b.toDouble / (bands - 1))
+      val coeff = 2.0 * StrictMath.cos(2.0 * StrictMath.PI * f / sampleRate)
+      var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s0 = samples(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      e(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      b += 1
+    }
+    var h = 0L
+    b = 0
+    while (b < 64) {
+      if (e(b + 1) > e(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** The m03 dedup plan over ANY (media_id, dhash) frame — perceptual-hash
+    * connected-component dedup shared by the image (m03) and audio (m04)
+    * faces: collapse identical hashes first (an exact-dup family of any
+    * size costs one graph node), 4×16-bit hamming band keys, first-match
+    * band join, full-hamming verify at ≤ `maxBits` (codegen bit_count over
+    * xor), connected components, min-id representative. Candidates come
+    * from band buckets — the corpus never pairs all-to-all (the d04 scale
+    * argument verbatim). */
+  private[operators] def hammingDedupDecisions(
+      hashes: DataFrame, maxBits: Int): DataFrame = {
+    val uniq = hashes.groupBy("dhash").agg(min(col("media_id")).as("hid"))
+    val bands = uniq.select(col("hid"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        pmod(shiftright(col("dhash"), b * 16), lit(65536L))): _*)))
+      .select(col("hid"), col("dhash"),
+        (col("pos") * lit(65536L) + col("col")).as("bkey"))
+    val right = bands.select(col("bkey"),
+      col("hid").as("mb"), col("dhash").as("hb"))
+    val pairs = bands.join(right, Seq("bkey"))
+      .filter(col("hid") < col("mb"))
+      // first-match band semantics (d04): one row per candidate pair
+      .groupBy("hid", "mb", "dhash", "hb").agg(count(lit(1)).as("nb"))
+      .filter(expr("bit_count(dhash ^ hb)") <= maxBits)
+      .select(col("hid").as("a"), col("mb").as("b"))
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    hashes
+      .join(uniq, Seq("dhash"))
+      .join(comp.withColumnRenamed("id", "hid")
+        .withColumnRenamed("label", "comp"), Seq("hid"), "left")
+      .select(col("media_id"), col("dhash"),
+        coalesce(col("comp"), col("hid")).as("component"),
+        when(coalesce(col("comp"), col("hid")) === col("media_id"), 1)
+          .otherwise(0).as("keep"))
+      .orderBy("media_id")
+  }
+
   /** 64-bit difference hash of an image: 9×8 nearest-neighbor downscale →
     * integer luma (299R + 587G + 114B, no division — scale-free compare) →
     * bit i = luma(x+1, y) > luma(x, y). All integer arithmetic on decoded
