@@ -52,12 +52,19 @@ object Bench {
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // session warm-up: parquet footer reads + scheduler spin-up
+    // session warm-up: parquet footer reads + scheduler spin-up. Guard EACH
+    // table: one unreadable table must cost its queries `err` entries in the
+    // timed loop below, not the round's entire bench (r6: an events schema
+    // change here killed the run before any query was timed).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, sfDir)
-               else Tables.load(spark, sfDir, t)
-      df.count()
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up for table $t failed: ${e.getMessage}")
+      }
     }
     // bucketed-lake layout is once-per-session by design; do it here so
     // q35 times the Exchange-free join, not the amortized write

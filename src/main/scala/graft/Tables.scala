@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -51,15 +52,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as a raw nano count and truncate to micros — exactly
-    * what DuckDB does when it narrows ns → its µs TIMESTAMP, so oracle
-    * comparisons stay value-identical. Integer `div` keeps full precision
-    * (nano counts exceed 2^53 and would corrupt in a double). */
+  /** Normalize `events.ts` to session-TZ TIMESTAMP regardless of how the
+    * producer encoded it — schema-on-read tolerance, the Spark analog of the
+    * reference's optional-field `.get(..., default)` loaders
+    * (LLMxMapReduce_V2/src/data_structure/survey.py:16-18). Two physical
+    * encodings exist in the wild testdata:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *    with `nanosAsLong` the column arrives as a raw LongType nano count.
+    *    Truncate to micros with integer `div` (nano counts exceed 2^53 and
+    *    would corrupt in a double) — exactly what DuckDB does when it
+    *    narrows ns → its µs TIMESTAMP, so oracle comparisons stay
+    *    value-identical.
+    *  - parquet TIMESTAMP(MICROS) without UTC adjustment (pyarrow default):
+    *    Spark infers TIMESTAMP_NTZ. Cast to TIMESTAMP — the session is
+    *    pinned to UTC (GraftSession), so wall-clock values are preserved
+    *    bit-for-bit and downstream window/date_format behavior matches the
+    *    nanos path.
+    *
+    * Branching on the LOADED schema (not a pinned one) means a regenerated
+    * lake never breaks the readers again. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-TZ TIMESTAMP
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when the file is micros: the flag only affects NANOS columns
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

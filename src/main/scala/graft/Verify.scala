@@ -18,15 +18,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A failed build must be VISIBLE downstream, not a silent omission: r6
+    // hid 13 regressions because failed queries wrote no parquet and the
+    // driver's compare only iterates over what exists. Record every failure
+    // as an `<name>._error` sentinel (check_oracle.py reports these as
+    // "MISSING (build error)") and print an attempted/written manifest.
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name._error"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
+    println(s"[verify] attempted=${attempted.size} " +
+      s"written=${attempted.size - failed.size} failed=${failed.size}" +
+      (if (failed.isEmpty) "" else failed.mkString(" [", ",", "]")))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -416,20 +416,27 @@ object Mix {
     QueryDef(
       "x06_sequence_pack",
       covers = "W7 W8 mix north-star",
+      // NOTE the CAST(sum(...) AS BIGINT): DuckDB widens sum(BIGINT) to
+      // HUGEINT (int128). A Python fetchall() still yields exact ints, but
+      // an Arrow-path fetch (which Arrow-less int128 forces to double)
+      // canonicalizes "0" as "0.000000" — r6's driver-only hash mismatch on
+      // this query while every local re-run passed. x02 already casts its
+      // sums for the same reason; every oracle output column here is now a
+      // plain BIGINT in any DuckDB fetch path.
       oracle = Some("""
         SELECT source, reader, doc_id, doc_tokens,
                (tok_start // 256) AS start_seq, (tok_start % 256) AS start_off,
                (tok_end // 256)   AS end_seq,   (tok_end % 256)   AS end_off
         FROM (
           SELECT source, reader, doc_id, doc_tokens,
-                 sum(doc_tokens) OVER (PARTITION BY source, reader
+                 CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
                      ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - doc_tokens AS tok_start,
-                 sum(doc_tokens) OVER (PARTITION BY source, reader
+                   - doc_tokens AS BIGINT) AS tok_start,
+                 CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
                      ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - 1 AS tok_end
+                   - 1 AS BIGINT) AS tok_end
           FROM (SELECT source, doc_id,
                        CAST(('0x' || substr(md5('p|' || doc_id::VARCHAR),
                          1, 8))::UBIGINT % 8 AS INT) AS reader,

@@ -34,6 +34,24 @@ object StreamQueries {
           unique("q26s"))
           .orderBy("wstart", "event_type")),
 
+    // Sliding 10/5-minute windows in streaming mode — completes the q26-q28
+    // window family's streaming twins (SURVEY §2.9). Each event lands in two
+    // overlapping windows; the oracle materializes both bucket starts.
+    QueryDef(
+      "q27s_sliding_stream",
+      covers = "Q27 D4 streaming",
+      oracle = Some("""
+        SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS wstart, count(*) AS n FROM (
+          SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                         time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS s
+          FROM events)
+        GROUP BY wstart ORDER BY wstart"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.slidingCounts(Streams.eventsStream(s, d)),
+          unique("q27s"))
+          .orderBy("wstart")),
+
     // Streaming exact dedup over the documents feed: first-seen content
     // hashes, cross-batch state. A finite run emits exactly the distinct
     // hash set, so the batch DISTINCT is the oracle; the cross-batch

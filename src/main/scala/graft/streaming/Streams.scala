@@ -21,11 +21,28 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Pinned events schema: `ts` arrives as raw TIMESTAMP(NANOS) int64
-    * (see Tables.events) and is narrowed to micros here. */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Events stream schema with `ts` pinned to the PROBED physical type.
+    * Streaming sources require a user-supplied schema, but pinning a type
+    * the files don't carry silently misreads the physical int64 (a micros
+    * file read as nanos collapses every timestamp 1000× — no error, just
+    * wrong windows). So probe the batch reader's inferred schema ONCE per
+    * directory — a parquet footer read, no data scan — and pin `ts` to
+    * whatever it actually is: LongType for TIMESTAMP(NANOS)-as-long files,
+    * TIMESTAMP_NTZ for pyarrow-default micros. graft.Tables.normalizeEventTs
+    * then narrows either encoding to session-TZ TIMESTAMP, keeping the
+    * streaming twins value-identical to their batch queries. */
+  private val tsTypeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
+
+  private def eventsTsType(spark: SparkSession, sfDir: String): DataType =
+    tsTypeMemo.getOrElseUpdate(sfDir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    })
+
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,12 +55,12 @@ object Streams {
       sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val raw = spark.readStream
+      .schema(eventsRawSchema(eventsTsType(spark, sfDir)))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Streaming q26: tumbling 5-minute counts per event type. */

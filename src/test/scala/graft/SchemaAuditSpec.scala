@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+
+/** One-shot audit that every Tables.* loader works against the CURRENT
+  * driver-generated testdata — the guard VERDICT r6 asked for after a
+  * regenerated lake silently changed events.ts's physical encoding and 13
+  * queries vanished from the correctness gate. A loader that can't even
+  * produce a row against today's files should fail HERE, loudly, not
+  * mid-query. */
+class SchemaAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every table loader reads the current testdata and yields rows") {
+    val loaders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "region"     -> (() => Tables.region(spark, dir)),
+      "nation"     -> (() => Tables.nation(spark, dir)),
+      "customer"   -> (() => Tables.customer(spark, dir)),
+      "supplier"   -> (() => Tables.supplier(spark, dir)),
+      "part"       -> (() => Tables.part(spark, dir)),
+      "orders"     -> (() => Tables.orders(spark, dir)),
+      "lineitem"   -> (() => Tables.lineitem(spark, dir)),
+      "events"     -> (() => Tables.events(spark, dir)),
+      "documents"  -> (() => Tables.documents(spark, dir)),
+      "embeddings" -> (() => Tables.embeddings(spark, dir)))
+    loaders.foreach { case (name, f) =>
+      val df = try f() catch {
+        case e: Throwable => fail(s"$name loader threw at build: $e")
+      }
+      assert(df.count() > 0, s"$name: zero rows")
+    }
+  }
+
+  test("events.ts is a session-TZ timestamp whatever the file encoding") {
+    val t = Tables.events(spark, dir).schema("ts").dataType
+    assert(t == TimestampType, s"events.ts must normalize to TIMESTAMP, got $t")
+    assert(t != TimestampNTZType)
+  }
+
+  test("pinned column expectations hold against today's files") {
+    // the columns queries actually key on — a silent rename/retype in a
+    // regenerated lake should fail this audit, not some mid-plan resolve
+    val expect = Map(
+      "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "documents" -> Set("doc_id", "source", "lang", "text"),
+      "embeddings" -> Set("vec_id", "embedding", "label"))
+    expect.foreach { case (t, cols) =>
+      val got = Tables.load(spark, dir, t).columns.toSet
+      assert(cols.subsetOf(got), s"$t missing ${cols diff got}")
+    }
+  }
+}

@@ -21,6 +21,29 @@ class TablesSpec extends SparkTestBase {
       s"nation should not fan out: ${nation.rdd.getNumPartitions}")
   }
 
+  // Schema-on-read tolerance for events.ts: the driver's generator has
+  // shipped TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; both
+  // committed fixtures must decode to the same session-TZ TIMESTAMP values.
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("events.ts decodes nanos-as-long and native micros identically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    def read(d: String) = Tables.events(spark, d)
+    for (d <- Seq(fixture("events_nanos"), fixture("events_micros")))
+      assert(read(d).schema("ts").dataType == TimestampType, d)
+    def vals(d: String) = read(d)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val nanos  = vals(fixture("events_nanos"))
+    val micros = vals(fixture("events_micros"))
+    assert(nanos == micros, s"$nanos vs $micros")
+    // absolute pin: 1700000000123456 µs = 2023-11-14 22:13:20.123456 UTC
+    assert(nanos(1) == Seq(2L, "2023-11-14 22:13:20.123456"))
+  }
+
   test("fan-out preserves rows and filter pushdown still reaches the scan") {
     import org.apache.spark.sql.functions._
     val filtered = Tables.documents(spark, dir).filter(col("doc_id") < 10)

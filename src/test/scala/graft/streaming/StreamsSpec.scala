@@ -55,6 +55,22 @@ class StreamsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("eventsStream adapts its pinned ts schema to the file encoding") {
+    // nanos-as-long and native-micros fixture files must stream to the SAME
+    // windows — a misread encoding collapses timestamps 1000× silently.
+    def counts(fix: String, qn: String) = {
+      val d = getClass.getResource(s"/fixtures/$fix").getPath
+      Streams.runToMemory(
+        Streams.tumblingCounts(Streams.eventsStream(spark, d)), qn)
+        .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    }
+    val nanos  = counts("events_nanos", "t_fix_ns")
+    val micros = counts("events_micros", "t_fix_us")
+    assert(nanos == micros, s"$nanos vs $micros")
+    assert(nanos.nonEmpty && nanos.map(_(2).asInstanceOf[Long]).sum == 4,
+      s"expected the 4 fixture rows windowed: $nanos")
+  }
+
   test("streaming V1 QA: documents stream through the pipeline to JSONL") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out  = Files.createTempDirectory("graft_v1s_out_").toString

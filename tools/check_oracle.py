@@ -10,6 +10,7 @@ name, floats rounded to 6 dp, row order as produced).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,6 +45,16 @@ def main(out_dir, sf_dir, only=None):
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     for name, sql in sorted(oracle.items()):
+        err_sentinel = os.path.join(out_dir, f"{name}._error")
+        if os.path.exists(err_sentinel):
+            msg = open(err_sentinel).read().strip().splitlines()
+            print(f"FAIL {name}: MISSING (build error) {msg[0] if msg else ''}")
+            n_fail += 1
+            continue
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: MISSING (no result written, no sentinel)")
+            n_fail += 1
+            continue
         try:
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
