@@ -332,17 +332,43 @@ object Multimodal {
   def decodeWavSamples(payload: Array[Byte]): Array[Float] = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
+    try decodeSampleFrames(ais) finally ais.close()
+  }
+
+  /** PCM16 frames → normalized mono samples. Multi-channel frames average
+    * their channels; a non-16-bit stream is rejected loudly rather than
+    * silently misdecoded (callers can transcode via
+    * `AudioSystem.getAudioInputStream(pcm16Format, ais)` first). */
+  private def decodeSampleFrames(
+      ais: javax.sound.sampled.AudioInputStream): Array[Float] = {
     val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16,
+      s"PCM16 expected, got ${fmt.getSampleSizeInBits}-bit " +
+        s"${fmt.getEncoding}")
+    val ch  = math.max(1, fmt.getChannels)
     val raw = ais.readAllBytes()
-    ais.close()
     val bb = java.nio.ByteBuffer.wrap(raw).order(
       if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN)
-    val n = raw.length / 2
-    val out = new Array[Float](n)
+    val frames = raw.length / (2 * ch)
+    val out = new Array[Float](frames)
     var i = 0
-    while (i < n) { out(i) = bb.getShort(2 * i) / 32768f; i += 1 }
+    while (i < frames) {
+      var acc = 0f
+      var c = 0
+      while (c < ch) { acc += bb.getShort(2 * (i * ch + c)); c += 1 }
+      out(i) = acc / (32768f * ch)
+      i += 1
+    }
     out
+  }
+
+  /** Decode + fingerprint in one stream pass: the m04 kernel. */
+  def afp64Wav(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try afp64(decodeSampleFrames(ais), ais.getFormat.getSampleRate)
+    finally ais.close()
   }
 
   /** 64-bit spectral-contour fingerprint of a waveform: Goertzel band
@@ -352,8 +378,14 @@ object Multimodal {
     * hash). `StrictMath` keeps the trig bit-exact on every JVM, so equal
     * waveforms fingerprint equal anywhere and near-identical tones (same
     * pitch, slightly different take/length) land within a few bits while
-    * unrelated pitches flip many. */
+    * unrelated pitches flip many. Caveats: requires sampleRate ≥ 6 kHz so
+    * the 3 kHz top band stays below Nyquist (aliased bands would silently
+    * scramble bits), and on very short clips (≪ 1/Δf of the ~5% band
+    * spacing) adjacent low bands are under-resolved — contour bits there
+    * discriminate coarsely, which widens (never splits) near-dup matches. */
   def afp64(samples: Array[Float], sampleRate: Float): Long = {
+    require(sampleRate >= 6000f,
+      s"afp64 needs sampleRate >= 6000 (top band 3 kHz < Nyquist), got $sampleRate")
     val bands = 65
     val e = new Array[Double](bands)
     var b = 0
@@ -386,7 +418,13 @@ object Multimodal {
     * band join, full-hamming verify at ≤ `maxBits` (codegen bit_count over
     * xor), connected components, min-id representative. Candidates come
     * from band buckets — the corpus never pairs all-to-all (the d04 scale
-    * argument verbatim). */
+    * argument verbatim).
+    *
+    * PRECONDITION: one row per media_id. The min-media_id group
+    * representative (`hid`) doubles as the graph node id, so a caller with
+    * several hashes per media (e.g. per-frame video hashes) must aggregate
+    * to one decision row per media first — otherwise one media can emit
+    * multiple keep rows under colliding hids. */
   private[operators] def hammingDedupDecisions(
       hashes: DataFrame, maxBits: Int): DataFrame = {
     val uniq = hashes.groupBy("dhash").agg(min(col("media_id")).as("hid"))
@@ -521,36 +559,32 @@ object Multimodal {
               new java.io.ByteArrayInputStream(m.payload)))))
           .toDF("media_id", "dhash")
           .localCheckpoint(false)
-        // collapse identical hashes FIRST (hid = the group's min id): the
-        // banding graph runs over DISTINCT hashes, so an exact-dup family
-        // of any size costs one node — and the component label (min
-        // reachable hid) is still the global min media_id, so the output
-        // is identical to pairing raw images, at a fraction of the edges
-        val uniq = hashes.groupBy("dhash").agg(min(col("media_id")).as("hid"))
-        val bands = uniq.select(col("hid"), col("dhash"),
-          posexplode(array((0 until 4).map(b =>
-            pmod(shiftright(col("dhash"), b * 16), lit(65536L))): _*)))
-          .select(col("hid"), col("dhash"),
-            (col("pos") * lit(65536L) + col("col")).as("bkey"))
-        val right = bands.select(col("bkey"),
-          col("hid").as("mb"), col("dhash").as("hb"))
-        val pairs = bands.join(right, Seq("bkey"))
-          .filter(col("hid") < col("mb"))
-          // first-match band semantics (d04): one row per candidate pair
-          .groupBy("hid", "mb", "dhash", "hb").agg(count(lit(1)).as("nb"))
-          .filter(expr("bit_count(dhash ^ hb)") <= 6)
-          .select(col("hid").as("a"), col("mb").as("b"))
-        val comp = Dedup.connectedComponents(
-          pairs.select(col("a").as("src"), col("b").as("dst")))
-        hashes
-          .join(uniq, Seq("dhash"))
-          .join(comp.withColumnRenamed("id", "hid")
-            .withColumnRenamed("label", "comp"), Seq("hid"), "left")
-          .select(col("media_id"), col("dhash"),
-            coalesce(col("comp"), col("hid")).as("component"),
-            when(coalesce(col("comp"), col("hid")) === col("media_id"), 1)
-              .otherwise(0).as("keep"))
-          .orderBy("media_id")
+        hammingDedupDecisions(hashes, maxBits = 6)
+      }),
+
+    // Audio perceptual dedup — the audio face of m03 over the SAME shared
+    // banding plan (hammingDedupDecisions): decode each WAV for REAL
+    // (javax.sound PCM16 path), spectral-contour fingerprint it (afp64:
+    // Goertzel band energies → 64 gradient-sign bits, StrictMath so equal
+    // waveforms hash equal on any JVM), then band→verify→components.
+    // Decode isn't SQL-expressible, so the sf0.01 output is fixture-pinned;
+    // afp64/decode semantics are spec-pinned on constructed tones in
+    // MultimodalSpec.
+    QueryDef(
+      "m04_audio_afp_dedup",
+      covers = "X5 north-star multimodal (perceptual dedup)",
+      oracle = Some("""
+        -- regression pin (sf0.01): real WAV decode + afp64, no SQL twin
+        SELECT * FROM read_parquet('/root/repo/fixtures/m04_audio_afp_dedup.parquet')
+        ORDER BY media_id"""),
+      build = (s, d) => {
+        import s.implicits._
+        val hashes = mediaTable(s, d)
+          .filter(_.kind == "audio")
+          .map(m => (m.media_id, afp64Wav(m.payload)))
+          .toDF("media_id", "dhash")
+          .localCheckpoint(false)
+        hammingDedupDecisions(hashes, maxBits = 6)
       })
   )
 }

@@ -153,6 +153,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Int]("keep") == 1))
   }
 
+  test("decodeWavSamples: roundtrips PCM16 mono and rejects non-16-bit") {
+    // encodeWav writes (v * 32767).toShort; decode must return s / 32768
+    val wav = Multimodal.encodeWav(13L)
+    val samples = Multimodal.decodeWavSamples(wav)
+    assert(samples.length == (13L % 320 + 80).toInt)
+    assert(samples.forall(s => s >= -1f && s <= 1f))
+    val expect0 = ((0.6 * math.sin(0) + 0.3 * math.sin(0)) * 32767.0)
+      .toShort / 32768f
+    assert(samples(0) == expect0)
+    // an 8-bit WAV must fail loudly, never silently misdecode
+    val eight = wav.clone()
+    eight(34) = 8 // bits-per-sample field of the canonical 44-byte header
+    eight(32) = 1 // block align = 1 byte/frame
+    assertThrows[IllegalArgumentException] {
+      Multimodal.decodeWavSamples(eight)
+    }
+  }
+
+  test("afp64: deterministic, near-dup tolerant, Nyquist-guarded") {
+    val a = Multimodal.afp64Wav(Multimodal.encodeWav(13L))
+    assert(a == Multimodal.afp64Wav(Multimodal.encodeWav(13L)))
+    // near-dup: same waveform, mildly rescaled + dithered (same length —
+    // at these ~10 ms clip lengths a LENGTH change is under-resolved by
+    // design, see the docstring caveat)
+    val samples = Multimodal.decodeWavSamples(Multimodal.encodeWav(13L))
+    val perturbed = samples.zipWithIndex.map { case (s, i) =>
+      s * 0.9f + (if (i % 7 == 0) 1e-4f else -1e-4f) }
+    val near = Multimodal.afp64(perturbed, 16000f)
+    assert(java.lang.Long.bitCount(a ^ near) <= 6,
+      s"near-dup hamming ${java.lang.Long.bitCount(a ^ near)}")
+    // unrelated pitch: well past the gate
+    val other = Multimodal.afp64Wav(Multimodal.encodeWav(133L))
+    assert(java.lang.Long.bitCount(a ^ other) > 6,
+      s"unrelated hamming ${java.lang.Long.bitCount(a ^ other)}")
+    // sub-6kHz rates alias the top bands -> rejected
+    assertThrows[IllegalArgumentException] {
+      Multimodal.afp64(Array(0f, 0.5f, -0.5f), 4000f)
+    }
+  }
+
+  test("m04 decisions are structurally sound and pin to the fixture shape") {
+    val q = Multimodal.defs.find(_.name == "m04_audio_afp_dedup").get
+    val out = q.build(spark, dir).collect()
+    val nAudio = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "audio").count()
+    assert(out.length == nAudio)
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    out.foreach { r =>
+      val (id, comp, keep) = (r.getAs[Long]("media_id"),
+        r.getAs[Long]("component"), r.getAs[Int]("keep"))
+      assert(comp <= id)
+      assert(keep == (if (comp == id) 1 else 0))
+      if (keep == 0) assert(byId(comp).getAs[Int]("keep") == 1)
+    }
+    assert(out.exists(_.getAs[Int]("keep") == 1))
+  }
+
   test("resize rewrites metadata; images re-encode at the new dims") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, 64, 48)
