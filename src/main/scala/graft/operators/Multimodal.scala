@@ -585,6 +585,50 @@ object Multimodal {
           .toDF("media_id", "dhash")
           .localCheckpoint(false)
         hammingDedupDecisions(hashes, maxBits = 6)
-      })
+      }),
+
+    // Video perceptual dedup — the multi-hash media face: each clip decodes
+    // to MANY per-frame dHashes (real AVI container walk + JPEG decode,
+    // scan-side), which must aggregate to ONE fingerprint per media before
+    // the shared banding plan (hammingDedupDecisions' documented
+    // precondition). The aggregate is the bitwise per-bit MAJORITY over
+    // frames — deterministic, order-independent (partial→final sums), and
+    // robust to a minority of changed/reordered frames, unlike hashing the
+    // frame list. One shuffle on media_id carries 65 longs per clip; the
+    // decode never crosses the wire. Fixture-pinned at sf0.01.
+    QueryDef(
+      "m05_video_phash_dedup",
+      covers = "X5 north-star multimodal (perceptual dedup)",
+      oracle = Some("""
+        -- regression pin (sf0.01): real AVI/JPEG decode + majority dHash
+        SELECT * FROM read_parquet('/root/repo/fixtures/m05_video_phash_dedup.parquet')
+        ORDER BY media_id"""),
+      build = (s, d) => videoPhashDedup(mediaTable(s, d), maxBits = 6))
   )
+
+  /** The m05 plan over any media table (separated so specs can drive it
+    * with constructed clips): per-frame dHash → per-media bitwise-majority
+    * fingerprint (ties → 0) → [[hammingDedupDecisions]]. */
+  private[operators] def videoPhashDedup(
+      media: Dataset[MediaRecord], maxBits: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val frameHashes = media
+      .filter(_.kind == "video")
+      .flatMap { m =>
+        AviMjpeg.decode(m.payload).frames.iterator.zipWithIndex
+          .map { case (img, i) => (m.media_id, i, dhash64(img)) }
+      }
+      .toDF("media_id", "fidx", "fhash")
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("fhash"), b).bitwiseAND(lit(1L))).as(s"b$b"))
+    val majority = (0 until 64).map(b =>
+      when(col(s"b$b") * 2 > col("nf"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashes = frameHashes
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("nf"), bitSums: _*)
+      .select(col("media_id"), majority.as("dhash"))
+      .localCheckpoint(false)
+    hammingDedupDecisions(hashes, maxBits)
+  }
 }

@@ -210,6 +210,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Int]("keep") == 1))
   }
 
+  test("m05: majority fingerprint is order-invariant, near-dup tolerant") {
+    import spark.implicits._
+    def clip(id: Long, frames: Seq[java.awt.image.BufferedImage]) =
+      Multimodal.MediaRecord(id, "video",
+        AviMjpeg.encode(16, 12, 4, frames), 16, 12, 0)
+    def fingerprint(frames: Seq[java.awt.image.BufferedImage]): Long =
+      Multimodal.videoPhashDedup(Seq(clip(1L, frames)).toDS(), 6)
+        .collect().head.getAs[Long]("dhash")
+    val base = (0 until 5).map(i => Multimodal.synthImage(100L + i, 16, 12))
+    // frame ORDER must not matter: majority is a commutative aggregate
+    assert(fingerprint(base) == fingerprint(base.reverse))
+    // a one-pixel nudge in every frame: per-frame hashes move a few bits,
+    // the majority moves at most that far
+    val perturbed = (0 until 5).map { i =>
+      val img = Multimodal.synthImage(100L + i, 16, 12)
+      img.setRGB(3, 3, img.getRGB(3, 3) ^ 0x040404)
+      img
+    }
+    val d = java.lang.Long.bitCount(fingerprint(base) ^ fingerprint(perturbed))
+    assert(d <= 6, s"perturbed-clip hamming $d")
+    // unrelated frames: far past the gate
+    val other = (0 until 5).map(i => Multimodal.synthImage(7000L + i, 16, 12))
+    val du = java.lang.Long.bitCount(fingerprint(base) ^ fingerprint(other))
+    assert(du > 6, s"unrelated-clip hamming $du")
+    // identical fingerprints collapse to one kept representative
+    val out = Multimodal.videoPhashDedup(
+      Seq(clip(10L, base), clip(11L, base.reverse), clip(12L, other))
+        .toDS(), 6)
+      .collect().sortBy(_.getAs[Long]("media_id"))
+    assert(out.map(_.getAs[Long]("component")).toSeq == Seq(10L, 10L, 12L))
+    assert(out.map(_.getAs[Int]("keep")).toSeq == Seq(1, 0, 1))
+  }
+
+  test("m05 decisions over the sf corpus are structurally sound") {
+    val q = Multimodal.defs.find(_.name == "m05_video_phash_dedup").get
+    val out = q.build(spark, dir).collect()
+    val nVideo = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "video").count()
+    assert(out.length == nVideo)
+    val byId = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    out.foreach { r =>
+      val (id, comp, keep) = (r.getAs[Long]("media_id"),
+        r.getAs[Long]("component"), r.getAs[Int]("keep"))
+      assert(comp <= id)
+      assert(keep == (if (comp == id) 1 else 0))
+      if (keep == 0) assert(byId(comp).getAs[Int]("keep") == 1)
+    }
+  }
+
   test("resize rewrites metadata; images re-encode at the new dims") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, 64, 48)
