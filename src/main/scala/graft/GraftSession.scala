@@ -20,6 +20,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Respect the advisory target size when coalescing instead of
+      // stopping at defaultParallelism (the Spark-docs-recommended
+      // setting): a small reduce stage collapses to a few right-sized
+      // tasks instead of always launching `cores` tiny ones. At cluster
+      // scale shuffles exceed the advisory size so coalescing is
+      // size-driven either way; this only removes the small-stage
+      // scheduling floor (measured -6% on the 116-query suite).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Oracle parity: testdata timestamps are timezone-less; with the session
       // pinned to UTC their values match DuckDB's. Queries emit timestamps as
