@@ -128,24 +128,30 @@ object Multimodal {
       Tables.documents(spark, dir)
         .select(col("doc_id"))
         .as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            (id % 3) match {
-              case 0 =>
-                val (w, h) = imageDims(id)
-                MediaRecord(id, "image", encodePng(synthImage(id, w, h)),
-                  w, h, 0)
-              case 1 =>
-                MediaRecord(id, "audio", encodeWav(id),
-                  0, 0, 16000)
-              case _ =>
-                val (w, h) = videoDims(id)
-                MediaRecord(id, "video", encodeAvi(id), w, h, 0)
-            }
-          }
-        }.toDF()
+        .mapPartitions(_.map(mediaRecordFor))
+        .toDF()
     }.as[MediaRecord]
   }
+
+  /** The deterministic per-id media synthesis shared by the batch memo and
+    * the streaming ingest twin (m06s): one REAL encoded payload per doc_id,
+    * kind by id mod 3. */
+  def mediaRecordFor(id: Long): MediaRecord = (id % 3) match {
+    case 0 =>
+      val (w, h) = imageDims(id)
+      MediaRecord(id, "image", encodePng(synthImage(id, w, h)), w, h, 0)
+    case 1 =>
+      MediaRecord(id, "audio", encodeWav(id), 0, 0, 16000)
+    case _ =>
+      val (w, h) = videoDims(id)
+      MediaRecord(id, "video", encodeAvi(id), w, h, 0)
+  }
+
+  /** Scan-side image fingerprint kernel for an arriving doc_id: synthesize
+    * (the lake stand-in), decode the PNG for real, dHash. */
+  def imagePhashFor(id: Long): Long =
+    dhash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(mediaRecordFor(id).payload)))
 
   /** Decode to an 8-dim feature vector, partition-local and batched.
     *

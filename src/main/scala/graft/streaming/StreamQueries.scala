@@ -177,6 +177,35 @@ object StreamQueries {
           .orderBy("doc_id")
       }),
 
+    // Streaming perceptual-hash index maintenance — the MULTIMODAL face of
+    // d14s: every arriving image decodes and dHashes partition-locally
+    // (one decode per payload, where the bytes are) and appends to the
+    // media fingerprint index; at 100 TB this index is maintained at
+    // ingest and m03's banding dedup consumes it, never re-decoding the
+    // lake. Stateless map stream (pure append), so the bounded run must
+    // equal the batch hash pass — which the ALREADY-COMMITTED m03 fixture
+    // pins (a cross-artifact check: stream index == batch decode, not a
+    // fresh self-pin).
+    QueryDef(
+      "m06s_stream_phash_index",
+      covers = "X5 D9 streaming north-star multimodal",
+      oracle = Some("""
+        -- the (media_id, dhash) columns of the batch m03 fixture pin
+        SELECT media_id, dhash
+        FROM read_parquet('/root/repo/fixtures/m03_image_phash_dedup.parquet')
+        ORDER BY media_id"""),
+      build = (s, d) => {
+        import s.implicits._
+        val stream = Streams.documentsStream(s, d)
+          .select(col("doc_id")).as[Long]
+          .filter(_ % 3 == 0) // the image rows of the media lake stand-in
+          .mapPartitions(_.map(id =>
+            (id, graft.operators.Multimodal.imagePhashFor(id))))
+          .toDF("media_id", "dhash")
+        Streams.runToMemory(stream, unique("m06s"), mode = "append")
+          .orderBy("media_id")
+      }),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

@@ -259,6 +259,20 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("m06s: streamed phash index equals the batch decode pass") {
+    import spark.implicits._
+    val q = graft.streaming.StreamQueries.defs
+      .find(_.name == "m06s_stream_phash_index").get
+    val streamed = q.build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("dhash"))).toSeq
+    val batch = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "image")
+      .map(m => (m.media_id, Multimodal.dhash64(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))))
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("resize rewrites metadata; images re-encode at the new dims") {
     val media = Multimodal.mediaTable(spark, dir)
     val resized = Multimodal.resize(media, 64, 48)
