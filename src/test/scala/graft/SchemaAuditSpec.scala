@@ -51,4 +51,16 @@ class SchemaAuditSpec extends SparkTestBase {
       assert(cols.subsetOf(got), s"$t missing ${cols diff got}")
     }
   }
+
+  test("date/price columns keep the types the query family assumes") {
+    import org.apache.spark.sql.types._
+    val li = Tables.lineitem(spark, dir).schema
+    assert(Set[DataType](DateType, TimestampType, TimestampNTZType)
+      .contains(li("l_shipdate").dataType), li("l_shipdate").dataType)
+    assert(li("l_extendedprice").dataType.isInstanceOf[NumericType])
+    assert(li("l_quantity").dataType.isInstanceOf[NumericType])
+    val emb = Tables.embeddings(spark, dir).schema
+    assert(emb("embedding").dataType.isInstanceOf[ArrayType],
+      emb("embedding").dataType)
+  }
 }
