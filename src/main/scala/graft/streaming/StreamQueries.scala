@@ -206,6 +206,45 @@ object StreamQueries {
           .orderBy("media_id")
       }),
 
+    // Streaming token accounting — the reference's A11 token ledger kept at
+    // INGEST: every arriving document tokenizes scan-side with the trained
+    // BPE rank table (broadcast; the same codegen kernel as t12, applied
+    // word-wise inside array HOFs so the stream never explodes words into
+    // rows), and a running (n_docs, total_tokens) aggregate per source is
+    // maintained in the state store — the budget/billing monitor a 100 TB
+    // feed keeps, state = one row per source. Oracle: the per-source
+    // aggregate of the COMMITTED t12 fixture joined to documents — a
+    // cross-artifact check tying the stream ledger to the batch tokenizer.
+    QueryDef(
+      "t13s_stream_token_monitor",
+      covers = "A11 T11 D9 streaming north-star",
+      oracle = Some("""
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(f.n_bpe) AS BIGINT) AS total_tokens
+        FROM read_parquet('/root/repo/fixtures/t12_bpe_apply.parquet') f
+        JOIN documents d ON f.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source"""),
+      build = (s, d) => {
+        val ranks = graft.operators.Tokenize.trainMerges(s, d).zipWithIndex
+          .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+        val bc = s.sparkContext.broadcast(ranks)
+        val perDoc = Streams.documentsStream(s, d)
+          .select(col("source"),
+            aggregate(
+              transform(
+                filter(split(lower(col("text")), " "),
+                  w => length(w) > lit(0)),
+                w => size(graft.functions.Bpe.tokenizeCol(s, w, bc))
+                  .cast("long")),
+              lit(0L), (acc, x) => acc + x).as("n_bpe"))
+        Streams.runToMemory(
+          perDoc.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_bpe")).cast("long").as("total_tokens")),
+          unique("t13s"))
+          .orderBy("source")
+      }),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

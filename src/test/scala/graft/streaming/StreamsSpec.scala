@@ -71,6 +71,38 @@ class StreamsSpec extends SparkTestBase {
       s"expected the 4 fixture rows windowed: $nanos")
   }
 
+  test("t13s: the token ledger ACCUMULATES across triggers per source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // tiny rank table: one merge (a,b) -> "ab" tokenizes to ONE token
+    val bc = spark.sparkContext.broadcast(Map(("a", "b") -> 0))
+    val input = MemoryStream[(String, String)]
+    val perDoc = input.toDF.toDF("source", "text")
+      .select(col("source"),
+        aggregate(
+          transform(
+            filter(split(lower(col("text")), " "), w => length(w) > lit(0)),
+            w => size(graft.functions.Bpe.tokenizeCol(spark, w, bc))
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe"))
+    val agg = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("total_tokens"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("t13s_acc").start()
+    try {
+      input.addData(("s1", "ab ab"), ("s2", "cd"))
+      q.processAllAvailable()
+      input.addData(("s1", "ab"))
+      q.processAllAvailable()
+      val rows = spark.table("t13s_acc").orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // s1: one doc per batch = 2 docs; "ab ab" = 2 BPE tokens, +1 from
+      // batch 2's "ab" = 3 total. s2: "cd" has no merge -> 2 symbol tokens.
+      assert(rows == Seq(("s1", 2L, 3L), ("s2", 1L, 2L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming V1 QA: documents stream through the pipeline to JSONL") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out  = Files.createTempDirectory("graft_v1s_out_").toString
