@@ -416,6 +416,89 @@ object TextAnalysis {
           .filter(col("rn") <= 5)
           .select("doc_id", "rn", "tok", "tfd", "bm25")
           .orderBy("doc_id", "rn")
+      }),
+
+    // ------------------------------------------- bigram-LM quality scoring
+    // CCNet/KenLM-style quality filter: train a bigram language model on
+    // the held-out high-quality slice (source = 'src0', the same eval-side
+    // convention as d08/d11) and score every corpus document by its mean
+    // Laplace-smoothed INVERSE conditional bigram probability — low score
+    // = in-domain fluent text, high score = out-of-domain/garbled. True
+    // perplexity would exponentiate a float log-prob sum; summing floats
+    // across rows is banned by the oracle-determinism rules, so the score
+    // keeps the SAME ordering signal in pure integer arithmetic: per
+    // bigram ipb = ((C(w1) + V) * 1000) div (C(w1 w2) + 1) — the
+    // reciprocal of the add-one-smoothed P(w2|w1) in milli-units — and
+    // the doc score is the integer mean. Scale shape: the LM count tables
+    // are per-corpus artifacts (at 100 TB maintained at ingest next to
+    // the vocab index) and broadcast — the corpus side streams once
+    // scan-side, explodes bigrams row-locally, probes the broadcast
+    // tables, and pays exactly one doc-keyed partial aggregation. No
+    // shuffle ever carries a gram string. Reference analog: the quality
+    // gate of the corpus curation path (F6,
+    // LLMxMapReduce_V2/src/LLM_search.py similarity filtering).
+    QueryDef(
+      "t14_lm_quality",
+      covers = "F6 T17 T18 north-star (LM quality filter)",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+                GROUP BY w),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+                  FROM (SELECT t[i] || ' ' || t[i+1] AS bg
+                        FROM toks, unnest(range(1, len(t))) AS u(i)
+                        WHERE source = 'src0')
+                  GROUP BY bg),
+        corpus AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+                   FROM toks, unnest(range(1, len(t))) AS u(i)
+                   WHERE source <> 'src0'),
+        scored AS (SELECT c.doc_id,
+                     ((COALESCE(u.cw, 0) + v.v) * 1000)
+                       // (COALESCE(b.cbg, 0) + 1) AS ipb
+                   FROM corpus c
+                   LEFT JOIN uni u ON u.w = c.w1
+                   LEFT JOIN lm_bg b ON b.bg = c.bg
+                   CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ipb) AS BIGINT) // count(*) AS score_milli
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      build = (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("t"))
+        // (w1, bigram) pairs positionally, exploded row-locally. The
+        // size >= 2 guard is load-bearing: sequence(1, 0) is a DESCENDING
+        // ramp, not empty (STATE invariant).
+        def bigramRows(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(
+                element_at(col("t"), i).as("w1"),
+                concat(element_at(col("t"), i), lit(" "),
+                  element_at(col("t"), i + 1)).as("bg")))).as("p"))
+          .select(col("doc_id"), col("source"), col("p.w1"), col("p.bg"))
+        val uni = base.filter(col("source") === "src0")
+          .select(explode(col("t")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("cw"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bgCounts = bigramRows(base.filter(col("source") === "src0"))
+          .groupBy("bg").agg(count(lit(1)).as("cbg"))
+        bigramRows(base.filter(col("source") =!= "src0"))
+          .join(broadcast(uni), Seq("w1"), "left")
+          .join(broadcast(bgCounts), Seq("bg"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            expr("((coalesce(cw, 0) + v) * 1000) div (coalesce(cbg, 0) + 1)")
+              .as("ipb"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("ipb")).as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("s div n_bigrams").as("score_milli"))
+          .orderBy("doc_id")
       })
   )
 }

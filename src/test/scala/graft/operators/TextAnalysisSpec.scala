@@ -48,4 +48,41 @@ class TextAnalysisSpec extends SparkTestBase {
       } assert(a.getAs[Double]("bm25") >= b.getAs[Double]("bm25"))
     }
   }
+
+  test("t14 LM quality scores every corpus doc with >= 2 tokens, integer milli-units") {
+    val q = TextAnalysis.defs.find(_.name == "t14_lm_quality").get
+    val out = q.build(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+    val expected = docs
+      .filter(col("source") =!= "src0" && size(split(col("text"), " ")) >= 2)
+      .count()
+    assert(out.length == expected)
+    out.foreach { r =>
+      // n_bigrams = token count - 1; scores positive (ipb >= 1 always)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+      assert(r.getAs[Long]("score_milli") >= 1000L)
+    }
+  }
+
+  test("t14 scores respect the smoothed-probability bounds and discriminate") {
+    // per-bigram cost ipb = ((C(w1)+V)*1000) div (C(w1 w2)+1) is bounded
+    // by (maxC+V)*1000 above (unseen bigram after the most frequent seen
+    // unigram) and 1000 below (P <= 1); docs seen by the LM must not all
+    // collapse to one score
+    val q = TextAnalysis.defs.find(_.name == "t14_lm_quality").get
+    val out = q.build(spark, dir)
+    val lmToks = graft.Tables.documents(spark, dir)
+      .filter(col("source") === "src0")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val vocabSize = lmToks.distinct().count()
+    val maxC = lmToks.groupBy("w").count()
+      .agg(max(col("count"))).head().getLong(0)
+    val ceiling = (maxC + vocabSize) * 1000L
+    val worst = out.agg(max(col("score_milli"))).head().getLong(0)
+    val best  = out.agg(min(col("score_milli"))).head().getLong(0)
+    assert(worst <= ceiling)
+    assert(best >= 1000L)
+    assert(best < worst, "scores must discriminate across corpus docs")
+  }
 }
