@@ -45,6 +45,15 @@ object Tables {
     if (fanOutTables(table)) fanOut(df, dir, table) else df
   }
 
+  /** Load with the scan-parallelism guard applied unconditionally — for
+    * queries that run a CPU-heavy per-row kernel DIRECTLY on a relational
+    * scan with no shuffle before it (e.g. q23's JSON roundtrip: partial
+    * aggregation means the whole serialize+parse pass runs inside the scan
+    * stage, so a single-split file pins it to one core of 32). On a real
+    * lake the scan arrives with thousands of splits and this is a no-op. */
+  def fannedLoad(spark: SparkSession, dir: String, table: String): DataFrame =
+    fanOut(spark.read.parquet(s"$dir/$table.parquet"), dir, table)
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

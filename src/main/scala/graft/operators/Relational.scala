@@ -640,8 +640,11 @@ object Relational {
           AND json_extract_string(j, '$.s') = o_orderstatus"""),
       build = (s, d) =>
         // json_tuple: ONE streaming parse per row for both fields (measured
-        // ~2x over from_json / 2x get_json_object at sf0.1)
-        Tables.orders(s, d)
+        // ~2x over from_json / 2x get_json_object at sf0.1). fannedLoad:
+        // the serialize+parse pass runs scan-side (partial agg), so a
+        // single-split orders file would pin it to one core (profiled
+        // 1-task 1.7 s stage at sf0.1).
+        Tables.fannedLoad(s, d, "orders")
           .withColumn("j", to_json(struct(
             col("o_orderkey").as("k"), col("o_orderstatus").as("s"))))
           .select(col("o_orderkey"), col("o_orderstatus"),
