@@ -41,6 +41,35 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, d: String): Unit =
     vocabFrame(s, d).count(): Unit
 
+  /** The t14 bigram LM as a driver-built broadcast model for the ingest
+    * gate (t14s). Counts come off the held-out slice exactly as in t14's
+    * plan; the collect is bounded by the eval-set vocabulary (|uni| = V,
+    * |bg| <= V²) — the same bounded-artifact posture as the BPE rank
+    * table. Memoized per (session, dir): the model is a per-corpus-snapshot
+    * artifact, never rebuilt per query. */
+  private val lmModelMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.broadcast.Broadcast[
+      graft.functions.LmKernel.LmModel]]
+
+  private[graft] def lmModelBroadcast(
+      s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.broadcast.Broadcast[graft.functions.LmKernel.LmModel] =
+    lmModelMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val base = Tables.documents(s, d)
+        .filter(col("source") === "src0")
+        .select(split(col("text"), " ").as("t"))
+      val uni = base.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val bg = base.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      s.sparkContext.broadcast(graft.functions.LmKernel.model(uni, bg))
+    })
+
   def defs: Seq[QueryDef] = Seq(
     // Language ID by stopword density — the n-gram-free heuristic the V3
     // crawler cleaner uses (T17); deterministic, hence oracle-checkable.

@@ -245,6 +245,47 @@ object StreamQueries {
           .orderBy("source")
       }),
 
+    // Ingestion-time LM quality gate: t14's scoring applied to the
+    // arriving document feed by the codegen'd row-local kernel over the
+    // BROADCAST bigram LM — one row in, one row out, no exchange, no
+    // state. Bounded-input run == the batch twin, so t14's oracle checks
+    // the gate (the shuffle-free plan shape is spec-pinned).
+    QueryDef(
+      "t14s_stream_lm_gate",
+      covers = "F6 T17 D9 streaming north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                      FROM documents),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+                GROUP BY w),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+                  FROM (SELECT t[i] || ' ' || t[i+1] AS bg
+                        FROM toks, unnest(range(1, len(t))) AS u(i)
+                        WHERE source = 'src0')
+                  GROUP BY bg),
+        corpus AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+                   FROM toks, unnest(range(1, len(t))) AS u(i)
+                   WHERE source <> 'src0'),
+        scored AS (SELECT c.doc_id,
+                     ((COALESCE(u.cw, 0) + v.v) * 1000)
+                       // (COALESCE(b.cbg, 0) + 1) AS ipb
+                   FROM corpus c
+                   LEFT JOIN uni u ON u.w = c.w1
+                   LEFT JOIN lm_bg b ON b.bg = c.bg
+                   CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ipb) AS BIGINT) // count(*) AS score_milli
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.lmGateStream(
+            Streams.documentsStream(s, d),
+            graft.operators.TextAnalysis.lmModelBroadcast(s, d)),
+          unique("t14s"), mode = "append")
+          .orderBy("doc_id")),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

@@ -190,6 +190,30 @@ object Streams {
       .dropDuplicates("doc_id")
   }
 
+  /** Ingestion-time LM quality gate (the streaming face of t14): every
+    * arriving corpus document is scored row-locally by the codegen'd
+    * bigram-LM kernel against the BROADCAST model — one row in, one row
+    * out, ZERO exchanges and zero state. This is the gate shape a 100 TB
+    * feed wants: the batch twin's explode+join+groupBy is the right plan
+    * when the LM is too large to collect, the kernel is the right plan
+    * when it is bounded by a held-out eval slice (it always is). Docs with
+    * fewer than two tokens carry no bigram evidence and pass through
+    * unscored (dropped here, exactly the batch twin's size >= 2 filter). */
+  def lmGateStream(
+      docs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.LmKernel.LmModel]): DataFrame = {
+    val s = docs.sparkSession
+    docs
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        graft.functions.LmKernel.lmScoreCol(s, col("text"), bc).as("sc"))
+      .filter(col("sc").isNotNull)
+      .select(col("doc_id"),
+        element_at(col("sc"), 1).as("n_bigrams"),
+        element_at(col("sc"), 2).as("score_milli"))
+  }
+
   /** S3: JSONL append sink via foreachBatch (one line per row, append-only —
     * the decode tail's behavior). Returns the started query. */
   def jsonlSink(

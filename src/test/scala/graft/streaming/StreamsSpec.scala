@@ -103,6 +103,40 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("t14s: the LM gate scores row-locally with no exchange in the plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // LM trained on "a b": V = 2, C(a)=1, C(b)=1, C("a b")=1
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.LmKernel.model(
+        Seq("a" -> 1L, "b" -> 1L), Seq("a b" -> 1L)))
+    val input = MemoryStream[(Long, String, String)]
+    val gated = Streams.lmGateStream(
+      input.toDF.toDF("doc_id", "source", "text"), bc)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("t14s_gate").start()
+    try {
+      input.addData((1L, "srcX", "a b"), (2L, "srcX", "z z"),
+        (3L, "src0", "a b"), (4L, "srcX", "one"))
+      q.processAllAvailable()
+      val rows = spark.table("t14s_gate").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // doc 1: seen bigram -> ((1+2)*1000) div (1+1) = 1500
+      // doc 2: OOV bigram  -> ((0+2)*1000) div 1     = 2000
+      // doc 3: held-out slice, filtered; doc 4: single token, no evidence
+      assert(rows == Seq((1L, 1L, 1500L), (2L, 1L, 2000L)), rows.toString)
+      // the gate is exchange-free: one row in, one row out, no shuffle
+      assert(!gated.queryExecution.analyzed.toString.toLowerCase
+        .contains("repartition"))
+      val lastProgress = q.lastProgress
+      assert(lastProgress == null ||
+        lastProgress.stateOperators.isEmpty ||
+        lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "LM gate must keep zero streaming state")
+    } finally q.stop()
+  }
+
   test("streaming V1 QA: documents stream through the pipeline to JSONL") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out  = Files.createTempDirectory("graft_v1s_out_").toString
