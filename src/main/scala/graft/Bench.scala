@@ -100,6 +100,10 @@ object Bench {
     // emission and the tokenization kernel, not the shared training loop
     try operators.Tokenize.trainMerges(spark, sfDir)
     catch { case _: Throwable => () }
+    // the bigram LM (t14s's broadcast model) is the same per-corpus
+    // artifact class: trained once next to the vocab index, read at ingest
+    try operators.TextAnalysis.lmModelBroadcast(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Key the stdout map by each query's unique id prefix ("d01", "q15b",
     // "q26s", ...): the driver captures only the LAST ~2 KB of stdout, and

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
+  /** Deterministic 8-way reader/loader assignment (x06 and its streaming
+    * twin x06s): md5-derived so any engine reproduces it, never rand(). */
+  private[graft] def readerCol(docId: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(lit("p|"), docId.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 8).cast("int")
+
   /** Materialize the shard layout x02 plans: write the corpus partitioned
     * by (source, shard) and return the manifest of what was actually
     * written (read back from the layout). The sink-side twin of
@@ -445,9 +452,7 @@ object Mix {
                 FROM documents))
         ORDER BY source, reader, doc_id"""),
       build = (s, d) => {
-        val reader = (conv(substring(md5(concat(lit("p|"),
-          col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
-          .cast("long") % 8).cast("int")
+        val reader = readerCol(col("doc_id"))
         val w = Window.partitionBy("source", "reader").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = sum(col("doc_tokens")).over(w)

@@ -286,6 +286,48 @@ object StreamQueries {
           unique("t14s"), mode = "append")
           .orderBy("doc_id")),
 
+    // Ingest-time sequence packing: x06's per-(source, reader) token
+    // cursor maintained as flatMapGroupsWithState (one long of state per
+    // reader stream); every doc's slice is assigned exactly once on
+    // arrival. Bounded-input run == the batch cumulative window, so x06's
+    // oracle checks it; the cross-batch cursor persistence is
+    // MemoryStream-pinned in StreamsSpec.
+    QueryDef(
+      "x06s_stream_pack",
+      covers = "W7 W8 D9 streaming mix north-star",
+      oracle = Some("""
+        SELECT source, reader, doc_id, doc_tokens,
+               (tok_start // 256) AS start_seq, (tok_start % 256) AS start_off,
+               (tok_end // 256)   AS end_seq,   (tok_end % 256)   AS end_off
+        FROM (
+          SELECT source, reader, doc_id, doc_tokens,
+                 CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - doc_tokens AS BIGINT) AS tok_start,
+                 CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1 AS BIGINT) AS tok_end
+          FROM (SELECT source, doc_id,
+                       CAST(('0x' || substr(md5('p|' || doc_id::VARCHAR),
+                         1, 8))::UBIGINT % 8 AS INT) AS reader,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS doc_tokens
+                FROM documents))
+        ORDER BY source, reader, doc_id"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          Streams.packUpdates(Streams.documentsStream(s, d)),
+          unique("x06s"), mode = "update")
+          .select(col("source"), col("reader"), col("doc_id"),
+            col("doc_tokens"),
+            expr("tok_start div 256").as("start_seq"),
+            (col("tok_start") % 256).as("start_off"),
+            expr("tok_end div 256").as("end_seq"),
+            (col("tok_end") % 256).as("end_off"))
+          .orderBy("source", "reader", "doc_id")),
+
     QueryDef(
       "q28s_session_stream",
       covers = "Q28 D11 streaming",

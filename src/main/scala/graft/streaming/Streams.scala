@@ -510,6 +510,44 @@ object Streams {
       .toDF("source", "ver", "entries")
   }
 
+  /** Ingest-time sequence packing (the streaming face of x06): every
+    * arriving document is assigned its [tok_start, tok_end] token-cursor
+    * slice within its (source, reader) stream exactly once, and the ONLY
+    * state per group is the running cursor — one long, however many
+    * documents flow past. That is the loader-side packing contract at
+    * 100 TB: assignment happens at ingest, never by re-scanning the
+    * corpus. Rows inside one micro-batch arrive unordered per group, so
+    * each batch's group slice is buffered and sorted by doc_id before
+    * assignment (bounded by the batch, not the stream); across batches
+    * monotone doc_id order is the feed's append order, matching the batch
+    * twin's ORDER BY doc_id cumulative window. */
+  def packUpdates(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"),
+        graft.operators.Mix.readerCol(col("doc_id")).as("reader"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("doc_tokens"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (String, Int, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((source, reader), rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._3).map { case (_, _, id, nt) =>
+            val start = cum
+            cum += nt
+            (source, reader, id, nt, start, cum - 1)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("source", "reader", "doc_id", "doc_tokens",
+        "tok_start", "tok_end")
+  }
+
   /** Drive a finite streaming aggregation into an in-memory table and return
     * its final contents (test/demo harness: AvailableNow over the parquet
     * files, complete output mode). */

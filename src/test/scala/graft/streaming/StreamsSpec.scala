@@ -137,6 +137,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("x06s: the packing cursor PERSISTS across triggers per reader stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val packed = Streams.packUpdates(
+      input.toDF.toDF("doc_id", "source", "text"))
+    val q = packed.writeStream.outputMode("update")
+      .format("memory").queryName("x06s_cursor").start()
+    try {
+      // all docs share a (source, reader) stream iff their reader hash
+      // agrees; use doc_ids with the same md5-derived reader bucket
+      val sameReader = (1L to 200L).groupBy { id =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"p|$id")
+            .substring(0, 8), 16) % 8
+      }.values.maxBy(_.size).take(3).toSeq.sorted
+      val Seq(a, b, c) = sameReader
+      input.addData((a, "s1", "w w w"), (b, "s1", "w w"))
+      q.processAllAvailable()
+      input.addData((c, "s1", "w w w w"))
+      q.processAllAvailable()
+      val rows = spark.table("x06s_cursor").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("tok_end"))).toSeq
+      // batch 1 packs a then b (sorted by doc_id); batch 2 resumes the
+      // cursor at 5 — the state survived the trigger boundary
+      assert(rows == Seq((a, 0L, 2L), (b, 3L, 4L), (c, 5L, 8L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming V1 QA: documents stream through the pipeline to JSONL") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out  = Files.createTempDirectory("graft_v1s_out_").toString
