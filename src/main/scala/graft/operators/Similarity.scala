@@ -181,7 +181,9 @@ object Similarity {
   /** Embedding dimensionality per sf dir, cached — one head-row read. */
   @volatile private var dimsCache: Map[String, Int] = Map.empty
 
-  private def dimsOf(
+  /** Embedding dimensionality, probed once per sf dir (head read). Shared
+    * with the streaming index twin s11s. */
+  private[graft] def dimsOf(
       s: org.apache.spark.sql.SparkSession, d: String): Int =
     dimsCache.getOrElse(d, {
       val n = Tables.embeddings(s, d)

@@ -206,6 +206,41 @@ object StreamQueries {
           .orderBy("media_id")
       }),
 
+    // Streaming ANN bucket-index maintenance — the EMBEDDING face of d14s
+    // (MinHash) and m06s (phash): every arriving vector computes its L=4
+    // LSH table buckets in the ONE codegen plane pass s02 uses and appends
+    // (vec_id, tbl, bucket) to the index. At 100 TB the ANN index is
+    // maintained at ingest and the s02/s03 query path probes it, never
+    // re-projecting the corpus. Stateless append; bounded-input run ==
+    // s02's bucket CTE, which the oracle rebuilds plane-by-plane.
+    QueryDef(
+      "s11s_stream_ann_index",
+      covers = "X5 D9 streaming north-star ANN",
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT len(v) AS dims FROM e LIMIT 1),
+        pl AS (SELECT p.p AS p,
+                 list_transform(range(0, (SELECT dims FROM d)), i ->
+                   ((('0x' || substr(md5(p.p::VARCHAR || '_' || i::VARCHAR),1,8))::UBIGINT
+                     % 2000) / 1000.0 - 1.0)) AS w
+               FROM range(0, 16) p(p)),
+        signs AS (SELECT e.vec_id, pl.p,
+                    CASE WHEN list_dot_product(e.v, pl.w) > 0 THEN 1 ELSE 0 END AS bit
+                  FROM e, pl),
+        buck AS (SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+                        CAST(sum(bit << (p % 4)) AS INT) AS bucket
+                 FROM signs GROUP BY vec_id, p // 4)
+        SELECT vec_id, tbl, bucket FROM buck ORDER BY vec_id, tbl"""),
+      build = (s, d) => {
+        val dims = graft.operators.Similarity.dimsOf(s, d)
+        val stream = Streams.embeddingsStream(s, d)
+          .select(col("vec_id"),
+            posexplode(graft.functions.LshFunctions.buckets(
+              s, col("embedding"), 4, 4, dims)).as(Seq("tbl", "bucket")))
+        Streams.runToMemory(stream, unique("s11s"), mode = "append")
+          .orderBy("vec_id", "tbl")
+      }),
+
     // Streaming token accounting — the reference's A11 token ledger kept at
     // INGEST: every arriving document tokenizes scan-side with the trained
     // BPE rank table (broadcast; the same codegen kernel as t12, applied

@@ -159,6 +159,23 @@ object Streams {
       .option("pathGlobFilter", "documents*.parquet")
       .parquet(sfDir)
 
+  /** Pinned embeddings schema for streaming reads of the sf dirs. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Stream the embeddings table out of an sf directory. */
+  def embeddingsStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "embeddings*.parquet")
+      .parquet(sfDir)
+
   /** Streaming exact dedup: emit each content hash the FIRST time it is
     * seen, across micro-batches — the ingestion-time dedup of a continuously
     * fed corpus. State = one row per distinct key, partitioned with the
