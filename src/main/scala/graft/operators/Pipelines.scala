@@ -65,6 +65,102 @@ object Pipelines {
             kernelWidth = 2, poolSize = 3))
           .select("survey_id", "n_papers", "cite_ratio")
           .orderBy("survey_id")
+      }),
+
+    // ------------------------------------- end-to-end training-mix pipeline
+    // The full curation-to-loader path as ONE dataflow: LM quality gate
+    // (t14's broadcast-LM score, keep fluent docs) → exact content dedup
+    // (first doc_id per md5) → per-source A-Res quota sample (x01's
+    // deterministic weighted draw, quota 15) → per-(source, reader)
+    // sequence packing (x06's cursor). This is what the engine exists to
+    // do at 100 TB: every stage is either row-local against a broadcast
+    // artifact (gate, reader assignment) or one keyed exchange (dedup
+    // hash, source quota, pack window) — four shuffles total for the whole
+    // pipeline, none carrying more than the surviving rows. The oracle
+    // replays all four stages in one SQL chain.
+    QueryDef(
+      "p04_training_mix_pipeline",
+      covers = "D6 F6 X5 W6 W7 W8 mix north-star",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, text, n_chars,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+                GROUP BY w),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+                  FROM (SELECT t[i] || ' ' || t[i+1] AS bg
+                        FROM toks, unnest(range(1, len(t))) AS u(i)
+                        WHERE source = 'src0')
+                  GROUP BY bg),
+        corpus AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+                   FROM toks, unnest(range(1, len(t))) AS u(i)
+                   WHERE source <> 'src0'),
+        scored AS (SELECT c.doc_id,
+                     CAST(sum(((COALESCE(u.cw, 0) + v.v) * 1000)
+                       // (COALESCE(b.cbg, 0) + 1)) AS BIGINT)
+                       // count(*) AS score_milli
+                   FROM corpus c
+                   LEFT JOIN uni u ON u.w = c.w1
+                   LEFT JOIN lm_bg b ON b.bg = c.bg
+                   CROSS JOIN v GROUP BY c.doc_id),
+        gated AS (SELECT d.doc_id, d.source, d.text, d.n_chars
+                  FROM documents d JOIN scored s USING (doc_id)
+                  WHERE s.score_milli < 45000),
+        dedup AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                    FROM gated) WHERE rn = 1),
+        quota AS (SELECT source, doc_id, text FROM (
+                    SELECT source, doc_id, text,
+                           row_number() OVER (PARTITION BY source ORDER BY
+                             pow(((doc_id * 2654435761) % 4294967296)
+                                 / 4294967296.0, 1.0 / n_chars) DESC,
+                             doc_id) AS rk
+                    FROM dedup) WHERE rk <= 15),
+        packed AS (SELECT source, doc_id,
+                          CAST(('0x' || substr(md5('p|' || doc_id::VARCHAR),
+                            1, 8))::UBIGINT % 8 AS INT) AS reader,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS doc_tokens
+                   FROM quota)
+        SELECT source, reader, doc_id, doc_tokens,
+               CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - doc_tokens AS BIGINT) AS tok_start
+        FROM packed ORDER BY source, reader, doc_id"""),
+      build = (s, d) => {
+        val gateIds = TextAnalysis.lmScoredFrame(s, d)
+          .filter(col("score_milli") < 45000)
+          .select("doc_id")
+        val gated = Tables.documents(s, d)
+          .join(gateIds, "doc_id")
+          .select("doc_id", "source", "text", "n_chars")
+        val dedup = gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text").cast("binary")))
+              .orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val ares = pow(
+          (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+            lit(4294967296.0),
+          lit(1.0) / col("n_chars"))
+        val quota = dedup
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(ares.desc, col("doc_id"))))
+          .filter(col("rk") <= 15)
+        val w = Window.partitionBy("source", "reader").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        quota
+          .select(col("source"), col("doc_id"),
+            Mix.readerCol(col("doc_id")).as("reader"),
+            size(split(col("text"), " ")).cast("long").as("doc_tokens"))
+          .select(col("source"), col("reader"), col("doc_id"),
+            col("doc_tokens"),
+            (sum(col("doc_tokens")).over(w) - col("doc_tokens"))
+              .as("tok_start"))
+          .orderBy("source", "reader", "doc_id")
       })
   )
 }

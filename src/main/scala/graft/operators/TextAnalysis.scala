@@ -494,40 +494,45 @@ object TextAnalysis {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                CAST(sum(ipb) AS BIGINT) // count(*) AS score_milli
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
-      build = (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            split(col("text"), " ").as("t"))
-        // (w1, bigram) pairs positionally, exploded row-locally. The
-        // size >= 2 guard is load-bearing: sequence(1, 0) is a DESCENDING
-        // ramp, not empty (STATE invariant).
-        def bigramRows(df: org.apache.spark.sql.DataFrame) = df
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), col("source"),
-            explode(transform(sequence(lit(1), size(col("t")) - 1),
-              i => struct(
-                element_at(col("t"), i).as("w1"),
-                concat(element_at(col("t"), i), lit(" "),
-                  element_at(col("t"), i + 1)).as("bg")))).as("p"))
-          .select(col("doc_id"), col("source"), col("p.w1"), col("p.bg"))
-        val uni = base.filter(col("source") === "src0")
-          .select(explode(col("t")).as("w1"))
-          .groupBy("w1").agg(count(lit(1)).as("cw"))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val bgCounts = bigramRows(base.filter(col("source") === "src0"))
-          .groupBy("bg").agg(count(lit(1)).as("cbg"))
-        bigramRows(base.filter(col("source") =!= "src0"))
-          .join(broadcast(uni), Seq("w1"), "left")
-          .join(broadcast(bgCounts), Seq("bg"), "left")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            expr("((coalesce(cw, 0) + v) * 1000) div (coalesce(cbg, 0) + 1)")
-              .as("ipb"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("ipb")).as("s"))
-          .select(col("doc_id"), col("n_bigrams"),
-            expr("s div n_bigrams").as("score_milli"))
-          .orderBy("doc_id")
-      })
+      build = (s, d) => lmScoredFrame(s, d).orderBy("doc_id"))
   )
+
+  /** t14's scored frame (doc_id, n_bigrams, score_milli) unordered —
+    * shared with the p04 composition pipeline's quality gate. */
+  private[graft] def lmScoredFrame(
+      s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+    // (w1, bigram) pairs positionally, exploded row-locally. The
+    // size >= 2 guard is load-bearing: sequence(1, 0) is a DESCENDING
+    // ramp, not empty (STATE invariant).
+    def bigramRows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(
+            element_at(col("t"), i).as("w1"),
+            concat(element_at(col("t"), i), lit(" "),
+              element_at(col("t"), i + 1)).as("bg")))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.w1"), col("p.bg"))
+    val uni = base.filter(col("source") === "src0")
+      .select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bgCounts = bigramRows(base.filter(col("source") === "src0"))
+      .groupBy("bg").agg(count(lit(1)).as("cbg"))
+    bigramRows(base.filter(col("source") =!= "src0"))
+      .join(broadcast(uni), Seq("w1"), "left")
+      .join(broadcast(bgCounts), Seq("bg"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("((coalesce(cw, 0) + v) * 1000) div (coalesce(cbg, 0) + 1)")
+          .as("ipb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ipb")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("score_milli"))
+  }
 }
