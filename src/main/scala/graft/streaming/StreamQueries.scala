@@ -89,6 +89,47 @@ object StreamQueries {
           unique("q39s"))
           .orderBy("wstart", "segment")),
 
+    // Stream-static AS-OF enrichment: q38's temporal join at ingest — the
+    // click stream probes a broadcast per-user sorted view-history index
+    // row-locally (array_max over the filtered history; struct order =
+    // (ts, id), giving the batch operator's exact tie semantics). No
+    // state, no stream shuffle; bounded run == the batch as-of join,
+    // which q38's oracle SQL checks.
+    QueryDef(
+      "q38s_stream_asof",
+      covers = "engine-complete (as-of join) D9 streaming",
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id, ts, 0 AS side, NULL::BIGINT AS click_id,
+                 struct_pack(ts := ts, id := event_id) AS v
+          FROM events WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, ts, 1 AS side, event_id AS click_id, NULL AS v
+          FROM events WHERE event_type = 'click'),
+        w AS (
+          SELECT *, max(v) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, side, v.id NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv
+          FROM u)
+        SELECT click_id, user_id, mv.id AS view_id
+        FROM w WHERE side = 1
+        ORDER BY click_id"""),
+      build = (s, d) => {
+        val idx = Streams.viewHistoryIndex(
+          graft.Tables.events(s, d)
+            .filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("event_id")))
+        val clicks = Streams.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        Streams.runToMemory(
+          Streams.asofEnrichStream(clicks, idx),
+          unique("q38s"), mode = "append")
+          .select("click_id", "user_id", "view_id")
+          .orderBy("click_id")
+      }),
+
     // Stream-stream interval join: watermarked state on BOTH sides, range
     // predicate bounding eviction — the last stateful-join surface. Two
     // independent file-source streams over the same feed.

@@ -527,6 +527,36 @@ object Streams {
       .toDF("source", "ver", "entries")
   }
 
+  /** Stream-static AS-OF enrichment (the streaming face of q38): every
+    * arriving click joins the BROADCAST per-user view-history index — one
+    * row per user holding the (ts, id)-sorted view array — and resolves
+    * "latest view at or before my ts" ROW-LOCALLY with
+    * array_max(filter(history, v.ts <= ts)): struct ordering is
+    * lexicographic (ts, then id), so ties on ts break toward the larger
+    * id, exactly the batch union-window's max(v) semantics. No streaming
+    * state, no stream-side shuffle; the static side re-plans per
+    * micro-batch, picking up index updates. At 100 TB the index holds the
+    * WATERMARK-RETAINED recent history per key (the bound a production
+    * enrichment keeps), not the full log; per-user arrays are small by
+    * construction, so the interpreted HOF runs over bounded data. */
+  def asofEnrichStream(clicks: DataFrame, viewIndex: DataFrame): DataFrame =
+    clicks
+      .join(org.apache.spark.sql.functions.broadcast(viewIndex),
+        Seq("user_id"), "left")
+      .select(col("click_id"), col("user_id"),
+        col("ts"),
+        array_max(filter(col("vh"), v => v.getField("ts") <= col("ts")))
+          .getField("id").as("view_id"))
+
+  /** The q38 static side as the index [[asofEnrichStream]] probes: one row
+    * per user, view history sorted by (ts, id). collect_list is bounded by
+    * per-key retained history (watermark horizon at scale). */
+  def viewHistoryIndex(views: DataFrame): DataFrame =
+    views
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("ts").as("ts"), col("event_id").as("id")))).as("vh"))
+
   /** Ingest-time sequence packing (the streaming face of x06): every
     * arriving document is assigned its [tok_start, tok_end] token-cursor
     * slice within its (source, reader) stream exactly once, and the ONLY

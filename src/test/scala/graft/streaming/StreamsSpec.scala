@@ -169,6 +169,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q38s: as-of gate matches latest-at-or-before with max-id ties, null when none") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: views at t=10 (ids 7 and 9 — tie) and t=20 (id 11)
+    val views = Seq((1L, ts(10), 7L), (1L, ts(10), 9L), (1L, ts(20), 11L))
+      .toDF("user_id", "ts", "event_id")
+    val idx = Streams.viewHistoryIndex(views)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val enriched = Streams.asofEnrichStream(
+      input.toDF.toDF("click_id", "user_id", "ts"), idx)
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("q38s_gate").start()
+    try {
+      input.addData((100L, 1L, ts(15)), (101L, 1L, ts(5)), (102L, 2L, ts(15)))
+      q.processAllAvailable()
+      input.addData((103L, 1L, ts(20))) // second trigger, inclusive match
+      q.processAllAvailable()
+      val rows = spark.table("q38s_gate").orderBy("click_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      // 100: t=15 -> tie at t=10 resolves to id 9; 101: before all -> null;
+      // 102: unknown user -> null; 103: inclusive t=20 -> id 11
+      assert(rows == Seq((100L, 9L), (101L, -1L), (102L, -1L), (103L, 11L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming V1 QA: documents stream through the pipeline to JSONL") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val out  = Files.createTempDirectory("graft_v1s_out_").toString
