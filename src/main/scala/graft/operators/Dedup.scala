@@ -60,7 +60,25 @@ object Dedup {
     * run — the observable that pins the O(log²) bound (DedupSpec runs a
     * 600-node chain in ~10 rounds where min-label would need ~600). */
   private[graft] def connectedComponentsWithStats(
-      pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1):
+      pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1,
+      loopPartitions: Int = 8): (DataFrame, Int) = {
+    // The star loop re-shuffles a rapidly-CONTRACTING edge set several
+    // times; size those exchanges to the contracted graph, not the
+    // session's scan-stage parallelism (the statePartitions argument from
+    // Streams.runToMemory verbatim). A real deployment sizes this to edge
+    // volume; candidate graphs here are ≪ the corpus by construction
+    // (banding emits near-dup families only), so the session default of
+    // one-partition-per-core costs 4× the scheduling it buys. Set for the
+    // loop, restore after — the conf is read at each action's planning.
+    val sparkConf = pairs.sparkSession.conf
+    val prevParts = sparkConf.get("spark.sql.shuffle.partitions")
+    sparkConf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
+    try connectedComponentsLoop(pairs, maxIters, preRounds)
+    finally sparkConf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsLoop(
+      pairs: DataFrame, maxIters: Int, preRounds: Int):
       (DataFrame, Int) = {
     // preRounds measured on d09's real LSH pairs at sf0.1 (CcRounds):
     // 0 -> 3 star rounds / 3.8 s warm; 1 -> 2 rounds / 3.3 s; 2 -> 2

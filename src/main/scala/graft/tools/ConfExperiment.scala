@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft._
+
+/** A/B harness for session-conf levers: runs a query subset twice in one
+  * session (2nd run = warm, codegen + memo amortized) and prints per-query
+  * warm times plus the total. Compare totals across env-var conf toggles:
+  *
+  *   SPARK_GRAFT_LOCAL_DIR=/dev/shm/graft_local \
+  *   SPARK_GRAFT_AQE=false \
+  *   sbt "runMain graft.tools.ConfExperiment sfDir q01,q02,..."
+  *
+  * Usage: ConfExperiment [sfDir] [names-csv|all] [reps]
+  */
+object ConfExperiment {
+  def main(args: Array[String]): Unit = {
+    val d     = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val names =
+      if (args.length > 1 && args(1) != "all") args(1).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val reps  = if (args.length > 2) args(2).toInt else 2
+
+    val b = GraftSession.builder("conf-exp", "32")
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(p => b.config("spark.local.dir", p))
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v => b.config("spark.sql.adaptive.enabled", v))
+    sys.env.get("SPARK_GRAFT_CKPT").foreach(p =>
+      b.config("spark.sql.streaming.checkpointLocation", p))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val totals = Array.fill(reps)(0.0)
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      val fn = qs(n)
+      var last = 0.0
+      (0 until reps).foreach { r =>
+        val t0 = System.nanoTime()
+        try { fn(spark, d).count() } catch { case e: Throwable =>
+          println(s"[exp] $n ERR ${e.getClass.getSimpleName}") }
+        last = (System.nanoTime() - t0) / 1e9
+        totals(r) += last
+      }
+      println(f"[exp] $n%-28s warm $last%6.3f s")
+    }
+    totals.zipWithIndex.foreach { case (t, i) =>
+      println(f"[exp] TOTAL rep${i + 1} $t%8.2f s  (${names.size} queries)")
+    }
+    spark.stop()
+  }
+}
