@@ -35,8 +35,15 @@ object Bench {
     // the timed run below. The warm session is then stopped so its blocks,
     // memo checkpoints, and heap garbage cannot bleed into timed queries
     // (running the warm-up in the SAME session measurably inflated them).
-    val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+    // Warm at the BENCH SF, not a smaller one: plan shape is data-size
+    // dependent (a join that broadcasts at sf0.001 sort-merges at sf0.1,
+    // AQE coalesces to different partition counts), so a small-SF warm-up
+    // leaves the benched SF's codegen variants uncompiled and every timed
+    // query pays first-compile. The warm session is still throwaway — its
+    // memo checkpoints and cached blocks die with it; only the JVM-global
+    // compiled-class cache carries over.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    if (new java.io.File(warmDir).isDirectory) {
       val warm = GraftSession.builder("graft-bench-warm", cpus).getOrCreate()
       warm.sparkContext.setLogLevel("WARN")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
