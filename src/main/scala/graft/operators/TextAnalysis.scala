@@ -495,6 +495,135 @@ object TextAnalysis {
                CAST(sum(ipb) AS BIGINT) // count(*) AS score_milli
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
       build = (s, d) => lmScoredFrame(s, d).orderBy("doc_id"))
+
+,
+    // PII scrubbing — the redaction pass every training-corpus pipeline
+    // runs before release (the C4/CCNet cleanup family): regex-redact
+    // emails, phone numbers, and IPs scan-side and emit the per-source
+    // audit (docs touched, matches per class, a content fingerprint of
+    // the redacted corpus). The synthetic documents carry no natural PII,
+    // so the query INJECTS it deterministically from doc_id first (the
+    // media family's synthesize-then-operate posture, m01-m06) — both
+    // engines inject identically, so redaction and audit are
+    // oracle-checked end to end. Scale shape: injection, three
+    // regexp_replaces, and three counts are one codegen projection in the
+    // scan stage; only (source, 5 ints, 1 hash) rows reach the shuffle.
+    // The fingerprint is bit_xor of per-doc md5-prefix hashes —
+    // order-independent and overflow-free (STATE sketch invariant).
+    QueryDef(
+      "t15_pii_scrub",
+      covers = "F6 T8 T17 north-star (PII redaction)",
+      oracle = Some("""
+        WITH inj AS (
+          SELECT doc_id, source, text
+            || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+                 || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+                 || (doc_id % 256)::VARCHAR || '.'
+                 || ((doc_id * 7) % 256)::VARCHAR || '.'
+                 || ((doc_id * 13) % 256)::VARCHAR ELSE '' END AS t
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, source,
+            len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS ne,
+            len(regexp_extract_all(t, '555-[0-9]{4}')) AS np,
+            len(regexp_extract_all(t, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni,
+            regexp_replace(regexp_replace(regexp_replace(t,
+              '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g'),
+              '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS red
+          FROM inj)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(np) AS BIGINT) AS n_phones,
+               CAST(sum(ni) AS BIGINT) AS n_ips,
+               CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pii_docs,
+               bit_xor(('0x' || substr(md5(red), 1, 15))::BIGINT)
+                 AS fingerprint
+        FROM cnt GROUP BY source ORDER BY source"""),
+      build = (s, d) => {
+        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+        val phoneRe = "555-[0-9]{4}"
+        val ipRe    = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        def tag(cond: org.apache.spark.sql.Column,
+                parts: org.apache.spark.sql.Column*) =
+          when(cond, concat(parts: _*)).otherwise(lit(""))
+        val injected = concat(col("text"),
+          tag(col("doc_id") % 7 === 0, lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")),
+          tag(col("doc_id") % 11 === 0, lit(" call 555-"),
+            lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0")),
+          tag(col("doc_id") % 13 === 0, lit(" from 10."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") * 7 % 256).cast("string"), lit("."),
+            (col("doc_id") * 13 % 256).cast("string")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), injected.as("t"))
+          .select(col("source"),
+            regexp_count(col("t"), lit(emailRe)).as("ne"),
+            regexp_count(col("t"), lit(phoneRe)).as("np"),
+            regexp_count(col("t"), lit(ipRe)).as("ni"),
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              lit(emailRe), lit("<EMAIL>")),
+              lit(phoneRe), lit("<PHONE>")),
+              lit(ipRe), lit("<IP>")).as("red"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("np")).as("n_phones"),
+            sum(col("ni")).as("n_ips"),
+            sum(when(col("ne") + col("np") + col("ni") > 0, 1)
+              .otherwise(0)).as("n_pii_docs"),
+            expr("bit_xor(CAST(conv(substring(md5(red), 1, 15), 16, 10)" +
+              " AS BIGINT))").as("fingerprint"))
+          .orderBy("source")
+      }),
+
+    // Blocklist gating — the C4 badwords filter: drop a document when
+    // blocklisted terms exceed a token-rate threshold, keep the rest, and
+    // emit the per-source gate audit. The list rides the regex (compiled
+    // once, codegen'd scan-side — for the 100 TB list form the same gate
+    // probes a broadcast set; this face pins the small-list fast path).
+    // Rates are integer milli-units (STATE invariant: no cross-row float
+    // state); 'crash' never occurs in the corpus, pinning the zero-hit
+    // path alongside the live terms.
+    QueryDef(
+      "t16_blocklist_gate",
+      covers = "F1 F6 T17 north-star (blocklist gate)",
+      oracle = Some("""
+        WITH c AS (
+          SELECT source,
+            len(regexp_extract_all(text, '\b(slow|big|crash)\b')) AS hits,
+            len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+        g AS (SELECT source, hits, n_tok,
+                     (hits * 1000) // n_tok AS rate_milli FROM c)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rate_milli >= 60 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN rate_milli < 60 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(sum(hits) AS BIGINT) AS n_hits,
+               CAST(max(rate_milli) AS BIGINT) AS max_rate_milli
+        FROM g GROUP BY source ORDER BY source"""),
+      build = (s, d) => {
+        val hitRe = "\\b(slow|big|crash)\\b"
+        Tables.documents(s, d)
+          .select(col("source"),
+            regexp_count(col("text"), lit(hitRe)).as("hits"),
+            size(split(col("text"), " ")).as("n_tok"))
+          .withColumn("rate_milli", expr("(hits * 1000) div n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rate_milli") >= 60, 1).otherwise(0)).as("n_dropped"),
+            sum(when(col("rate_milli") < 60, 1).otherwise(0)).as("n_kept"),
+            sum(col("hits")).as("n_hits"),
+            max(col("rate_milli")).cast("long").as("max_rate_milli"))
+          .orderBy("source")
+      })
   )
 
   /** t14's scored frame (doc_id, n_bigrams, score_milli) unordered —
