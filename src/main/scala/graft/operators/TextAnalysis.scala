@@ -544,32 +544,8 @@ object TextAnalysis {
                bit_xor(('0x' || substr(md5(red), 1, 15))::BIGINT)
                  AS fingerprint
         FROM cnt GROUP BY source ORDER BY source"""),
-      build = (s, d) => {
-        val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-        val phoneRe = "555-[0-9]{4}"
-        val ipRe    = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-        def tag(cond: org.apache.spark.sql.Column,
-                parts: org.apache.spark.sql.Column*) =
-          when(cond, concat(parts: _*)).otherwise(lit(""))
-        val injected = concat(col("text"),
-          tag(col("doc_id") % 7 === 0, lit(" contact user"),
-            col("doc_id").cast("string"), lit("@example.com")),
-          tag(col("doc_id") % 11 === 0, lit(" call 555-"),
-            lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0")),
-          tag(col("doc_id") % 13 === 0, lit(" from 10."),
-            (col("doc_id") % 256).cast("string"), lit("."),
-            (col("doc_id") * 7 % 256).cast("string"), lit("."),
-            (col("doc_id") * 13 % 256).cast("string")))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), injected.as("t"))
-          .select(col("source"),
-            regexp_count(col("t"), lit(emailRe)).as("ne"),
-            regexp_count(col("t"), lit(phoneRe)).as("np"),
-            regexp_count(col("t"), lit(ipRe)).as("ni"),
-            regexp_replace(regexp_replace(regexp_replace(col("t"),
-              lit(emailRe), lit("<EMAIL>")),
-              lit(phoneRe), lit("<PHONE>")),
-              lit(ipRe), lit("<IP>")).as("red"))
+      build = (s, d) =>
+        piiScrubbed(Tables.documents(s, d))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ne")).as("n_emails"),
@@ -579,8 +555,7 @@ object TextAnalysis {
               .otherwise(0)).as("n_pii_docs"),
             expr("bit_xor(CAST(conv(substring(md5(red), 1, 15), 16, 10)" +
               " AS BIGINT))").as("fingerprint"))
-          .orderBy("source")
-      }),
+          .orderBy("source")),
 
     // Blocklist gating — the C4 badwords filter: drop a document when
     // blocklisted terms exceed a token-rate threshold, keep the rest, and
@@ -625,6 +600,40 @@ object TextAnalysis {
           .orderBy("source")
       })
   )
+
+  /** t15's per-row injection + detection + redaction as one codegen
+    * projection over any (doc_id, source, text) frame — shared by the
+    * batch audit (t15) and the streaming ingest gate (t15s) so the two
+    * faces cannot drift. Returns (doc_id, source, ne, np, ni, red). */
+  private[graft] def piiScrubbed(
+      docs: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    val ipRe    = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    def tag(cond: org.apache.spark.sql.Column,
+            parts: org.apache.spark.sql.Column*) =
+      when(cond, concat(parts: _*)).otherwise(lit(""))
+    val injected = concat(col("text"),
+      tag(col("doc_id") % 7 === 0, lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")),
+      tag(col("doc_id") % 11 === 0, lit(" call 555-"),
+        lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0")),
+      tag(col("doc_id") % 13 === 0, lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") * 7 % 256).cast("string"), lit("."),
+        (col("doc_id") * 13 % 256).cast("string")))
+    docs
+      .select(col("doc_id"), col("source"), injected.as("t"))
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("t"), lit(emailRe)).as("ne"),
+        regexp_count(col("t"), lit(phoneRe)).as("np"),
+        regexp_count(col("t"), lit(ipRe)).as("ni"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")).as("red"))
+  }
 
   /** t14's scored frame (doc_id, n_bigrams, score_milli) unordered —
     * shared with the p04 composition pipeline's quality gate. */

@@ -362,6 +362,54 @@ object StreamQueries {
           unique("t14s"), mode = "append")
           .orderBy("doc_id")),
 
+    // Ingestion-time PII gate: t15's injection + detection + redaction
+    // kernel (the shared TextAnalysis.piiScrubbed projection, so the
+    // faces cannot drift) applied to the arriving document feed — one
+    // row in, one per-doc decision row out (pii count + redacted-content
+    // hash), no exchange, no state: the t13s/t14s stateless-gate
+    // posture. At 100 TB this is where redaction RUNS — documents are
+    // scrubbed when first ingested, never by rescanning the corpus.
+    // Bounded-input run == the batch projection, so the per-doc twin is
+    // DuckDB-hash-checked like the t15 audit.
+    QueryDef(
+      "t15s_stream_pii_gate",
+      covers = "F6 T8 D9 streaming north-star (PII ingest gate)",
+      oracle = Some("""
+        WITH inj AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || doc_id::VARCHAR || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+                 || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+                 || (doc_id % 256)::VARCHAR || '.'
+                 || ((doc_id * 7) % 256)::VARCHAR || '.'
+                 || ((doc_id * 13) % 256)::VARCHAR ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+                 + len(regexp_extract_all(t, '555-[0-9]{4}'))
+                 + len(regexp_extract_all(t,
+                     '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                 AS BIGINT) AS n_pii,
+               ('0x' || substr(md5(
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g'),
+                   '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')),
+                 1, 15))::BIGINT AS red_hash
+        FROM inj ORDER BY doc_id"""),
+      build = (s, d) =>
+        Streams.runToMemory(
+          graft.operators.TextAnalysis
+            .piiScrubbed(Streams.documentsStream(s, d))
+            .select(col("doc_id"),
+              (col("ne") + col("np") + col("ni")).cast("long").as("n_pii"),
+              expr("CAST(conv(substring(md5(red), 1, 15), 16, 10) AS BIGINT)")
+                .as("red_hash")),
+          unique("t15s"), mode = "append")
+          .orderBy("doc_id")),
+
     // Ingest-time sequence packing: x06's per-(source, reader) token
     // cursor maintained as flatMapGroupsWithState (one long of state per
     // reader stream); every doc's slice is assigned exactly once on
