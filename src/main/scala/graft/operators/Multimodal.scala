@@ -626,7 +626,54 @@ object Multimodal {
         -- regression pin (sf0.01): real AVI/JPEG decode + majority dHash
         SELECT * FROM read_parquet('/root/repo/fixtures/m05_video_phash_dedup.parquet')
         ORDER BY media_id"""),
-      build = (s, d) => hammingDedupDecisions(vhashFrame(s, d), maxBits = 6))
+      build = (s, d) => hammingDedupDecisions(vhashFrame(s, d), maxBits = 6)),
+
+    // Thumbnail generation — the resize face of the media pipeline as a
+    // query: every image decodes, nearest-neighbor-redraws to 16×12, and
+    // re-encodes through the REAL [[resize]] operator (the path a
+    // vision-training pipeline runs to normalize input dims), then the
+    // output is verified by re-decoding and hashing the PIXELS. Hashing
+    // decoded pixels, not the PNG bytes, keeps the pin independent of the
+    // encoder's compression choices (PNG is lossless, so
+    // decode∘encode = identity on the pixel grid) while still exercising
+    // the full encode→decode roundtrip. Deterministic integer math
+    // per-row (mapPartitions, no shuffle until the output sort), so the
+    // sf0.01 result is fixture-pinned like the other media faces.
+    QueryDef(
+      "m07_thumbnail",
+      covers = "north-star multimodal (resize)",
+      oracle = Some("""
+        -- regression pin (sf0.01): real decode -> NN resize -> pixel hash
+        SELECT * FROM read_parquet('/root/repo/fixtures/m07_thumbnail.parquet')
+        ORDER BY media_id"""),
+      build = (s, d) => {
+        import s.implicits._
+        val (tw, th) = (16, 12)
+        resize(mediaTable(s, d).filter(_.kind == "image"), tw, th)
+          .map { m =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            val px = new Array[Byte](img.getWidth * img.getHeight * 3)
+            var i = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                px(i) = ((rgb >> 16) & 0xff).toByte
+                px(i + 1) = ((rgb >> 8) & 0xff).toByte
+                px(i + 2) = (rgb & 0xff).toByte
+                i += 3; x += 1
+              }
+              y += 1
+            }
+            (m.media_id, img.getWidth, img.getHeight,
+              java.security.MessageDigest.getInstance("MD5").digest(px)
+                .map("%02x".format(_)).mkString)
+          }
+          .toDF("media_id", "width", "height", "pix_md5")
+          .orderBy("media_id")
+      })
   )
 
   /** Per-frame dHash → per-media bitwise-majority fingerprint (ties → 0):

@@ -292,4 +292,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(joined.filter(col("kind") =!= "image")
       .filter(col("len1") > col("len0")).count() == 0)
   }
+
+  test("m07 thumbnails cover every image at the target dims with " +
+      "content-dependent pixel hashes") {
+    val q = Multimodal.defs.find(_.name == "m07_thumbnail").get
+    val out = q.build(spark, dir).collect()
+    val nImages = Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "image").count()
+    assert(out.length == nImages)
+    assert(out.forall(r =>
+      r.getAs[Int]("width") == 16 && r.getAs[Int]("height") == 12))
+    // hashes discriminate content (not a constant of the dims)
+    assert(out.map(_.getAs[String]("pix_md5")).distinct.length > 1)
+  }
 }
