@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the core of a
@@ -61,25 +61,27 @@ object Dedup {
     * 600-node chain in ~10 rounds where min-label would need ~600). */
   private[graft] def connectedComponentsWithStats(
       pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1,
-      loopPartitions: Int = 8): (DataFrame, Int) = {
-    // The star loop re-shuffles a rapidly-CONTRACTING edge set several
-    // times; size those exchanges to the contracted graph, not the
-    // session's scan-stage parallelism (the statePartitions argument from
-    // Streams.runToMemory verbatim). A real deployment sizes this to edge
-    // volume; candidate graphs here are ≪ the corpus by construction
-    // (banding emits near-dup families only), so the session default of
-    // one-partition-per-core costs 4× the scheduling it buys. Set for the
-    // loop, restore after — the conf is read at each action's planning.
-    val sparkConf = pairs.sparkSession.conf
-    val prevParts = sparkConf.get("spark.sql.shuffle.partitions")
-    sparkConf.set("spark.sql.shuffle.partitions", loopPartitions.toString)
-    try connectedComponentsLoop(pairs, maxIters, preRounds)
-    finally sparkConf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+      loopPartitions: Int = 8): (DataFrame, Int) =
+    connectedComponentsLoop(pairs, maxIters, preRounds, loopPartitions)
 
   private def connectedComponentsLoop(
-      pairs: DataFrame, maxIters: Int, preRounds: Int):
+      pairs: DataFrame, maxIters: Int, preRounds: Int, loopPartitions: Int):
       (DataFrame, Int) = {
+    // The star loop re-shuffles a rapidly-CONTRACTING edge set several
+    // times; size those exchanges to the contracted graph, not the
+    // session's scan-stage parallelism. Scoped to THE PLAN, not the session
+    // conf (ADVICE r7: a set/restore of spark.sql.shuffle.partitions is
+    // session-global — a concurrently-planned query, e.g. a streaming
+    // micro-batch thread, would inherit the loop's 8 partitions, and
+    // overlapping calls could restore the wrong value): every loop frame is
+    // explicitly hash-partitioned on its group/join key at loopPartitions,
+    // so the groupBy and join that follow reuse that partitioning
+    // exchange-free (HashPartitioning(key, p) satisfies their clustered
+    // distribution), and AQE leaves user-specified partition counts alone.
+    // A real deployment sizes loopPartitions to candidate-edge volume;
+    // banded near-dup graphs here are ≪ the corpus by construction.
+    def part(df: DataFrame, keys: Column*): DataFrame =
+      df.repartition(loopPartitions, keys: _*)
     // preRounds measured on d09's real LSH pairs at sf0.1 (CcRounds):
     // 0 -> 3 star rounds / 3.8 s warm; 1 -> 2 rounds / 3.3 s; 2 -> 2
     // rounds / 3.3 s. One round is the sweet spot — every pre-round is a
@@ -102,23 +104,29 @@ object Dedup {
     // itself) links to m. Alternating the two is monotone toward the
     // star-per-component fixpoint.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .toDF("u", "v")
+      val sym = part(
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .toDF("u", "v"), col("u"))
+      // groupBy("u") and the join on "u" both reuse sym's partitioning —
+      // the only exchanges in this step are `part`'s two explicit ones
       val mn = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      sym.join(mn, "u").filter(col("v") > col("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
+      part(sym.join(mn, "u").filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst")),
+          col("src"), col("dst"))
         .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
-          least(col("src"), col("dst")).as("v"))
-        .filter(col("u") =!= col("v"))
+      val dir = part(
+        e.select(greatest(col("src"), col("dst")).as("u"),
+            least(col("src"), col("dst")).as("v"))
+          .filter(col("u") =!= col("v")), col("u"))
       val mn = dir.groupBy("u").agg(min("v").as("m"))
-      dir.join(mn, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-        .unionByName(mn.select(col("u").as("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst"))
+      part(dir.join(mn, "u")
+          .select(col("v").as("src"), col("m").as("dst"))
+          .unionByName(mn.select(col("u").as("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst")),
+          col("src"), col("dst"))
         .distinct()
     }
     def checksum(e: DataFrame): (Long, Long, Long) = {

@@ -56,6 +56,31 @@ object Sketches {
         .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     }
 
+  /** The [lo, hi] domain as a DRIVER-SIDE scalar pair — the deploy-time
+    * configuration a streaming sketch job carries (a stream cannot learn
+    * global min/max online), so q43s/q47s need it to CONSTRUCT their plans.
+    * That makes this an intentional eager action inside a query constructor
+    * (one 1-row job over the memoized bounds frame) — the ONLY such action
+    * in the registry, documented here so no future caller mistakes it for a
+    * lazy plan piece or re-triggers it per micro-batch: the row is memoized
+    * per (session, sf dir), so repeated plan constructions pay nothing.
+    * Throws if events.value has no non-null rows (no domain to fix). */
+  @volatile private var boundsRowCache: Map[(Int, String), (Double, Double)] =
+    Map.empty
+  private[graft] def eventBoundsScalar(
+      s: SparkSession, d: String): (Double, Double) = {
+    val key = (System.identityHashCode(s), d)
+    boundsRowCache.getOrElse(key, {
+      val r = eventBounds(s, d).head()
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"events.value in $d has no non-null rows — " +
+          "cannot fix the sketch domain [lo, hi]")
+      val lohi = (r.getDouble(0), r.getDouble(1))
+      synchronized { boundsRowCache += (key -> lohi) }
+      lohi
+    })
+  }
+
   /** The histogram sketch of events.value: ≤256 (bucket, cnt) rows. Bounds
     * ride a broadcast 1-row aggregate — no driver collect in the query path.
     * Memoized: q43 consumes this frame from several branches (ranks,

@@ -41,12 +41,25 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, d: String): Unit =
     vocabFrame(s, d).count(): Unit
 
-  /** The t14 bigram LM as a driver-built broadcast model for the ingest
-    * gate (t14s). Counts come off the held-out slice exactly as in t14's
-    * plan; the collect is bounded by the eval-set vocabulary (|uni| = V,
-    * |bg| <= V²) — the same bounded-artifact posture as the BPE rank
-    * table. Memoized per (session, dir): the model is a per-corpus-snapshot
-    * artifact, never rebuilt per query. */
+  /** The t14s broadcast LM is PRUNED to the top-K n-grams by count before
+    * the driver collect (ties broken by token string, so both engines cap
+    * identically): prune-and-smooth, the KenLM/CCNet practice. This is the
+    * driver-memory bound (VERDICT r7 #2): an open-vocabulary 100 TB
+    * held-out slice would otherwise make |bigrams| a driver-killer — with
+    * the cap the model is ≤ LmTopUni + LmTopBg entries REGARDLESS of corpus
+    * vocabulary. Tokens outside the kept tables score through the same
+    * Laplace-smoothing unseen path (cw = 0 / cbg = 0), and the smoothing V
+    * is the CAPPED unigram-table size, so the arithmetic stays exactly
+    * reproducible by the oracle's capped CTEs. The caps deliberately BIND
+    * at every test SF (src0 has 31 unigrams / 700+ bigrams) — the pruned
+    * path is what the oracle checks, not a latent branch. */
+  private[graft] val LmTopUni = 24
+  private[graft] val LmTopBg  = 512
+
+  /** The t14-shaped bigram LM as a driver-built broadcast model for the
+    * ingest gate (t14s), capped per [[LmTopUni]]/[[LmTopBg]]. Memoized per
+    * (session, dir): the model is a per-corpus-snapshot artifact, never
+    * rebuilt per query. */
   private val lmModelMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.broadcast.Broadcast[
       graft.functions.LmKernel.LmModel]]
@@ -58,14 +71,18 @@ object TextAnalysis {
       val base = Tables.documents(s, d)
         .filter(col("source") === "src0")
         .select(split(col("text"), " ").as("t"))
+      // orderBy+limit plans as TakeOrdered: only the K survivors reach the
+      // driver, whatever the vocabulary
       val uni = base.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(LmTopUni)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       val bg = base.filter(size(col("t")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
           i => concat(element_at(col("t"), i), lit(" "),
             element_at(col("t"), i + 1)))).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg").asc).limit(LmTopBg)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       s.sparkContext.broadcast(graft.functions.LmKernel.model(uni, bg))
     })

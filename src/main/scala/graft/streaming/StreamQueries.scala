@@ -321,26 +321,32 @@ object StreamQueries {
           .orderBy("source")
       }),
 
-    // Ingestion-time LM quality gate: t14's scoring applied to the
+    // Ingestion-time LM quality gate: t14-shaped scoring applied to the
     // arriving document feed by the codegen'd row-local kernel over the
     // BROADCAST bigram LM — one row in, one row out, no exchange, no
-    // state. Bounded-input run == the batch twin, so t14's oracle checks
-    // the gate (the shuffle-free plan shape is spec-pinned).
+    // state. The broadcast model is PRUNED to the top-K n-grams by count
+    // (TextAnalysis.LmTopUni/LmTopBg — the driver-memory bound; see
+    // lmModelBroadcast's scaladoc), and the oracle's CTEs apply the SAME
+    // cap with the same (count DESC, token ASC) tie-break, so the pruned
+    // arithmetic — including the capped smoothing V — is hash-checked end
+    // to end. The shuffle-free plan shape is spec-pinned.
     QueryDef(
       "t14s_stream_lm_gate",
       covers = "F6 T17 D9 streaming north-star",
       oracle = Some("""
         WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
                       FROM documents),
-        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
-                FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
-                GROUP BY w),
+        uni AS (SELECT w, cw FROM (
+                  SELECT w, CAST(count(*) AS BIGINT) AS cw
+                  FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+                  GROUP BY w ORDER BY cw DESC, w LIMIT 24)),
         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-        lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+        lm_bg AS (SELECT bg, cbg FROM (
+                  SELECT bg, CAST(count(*) AS BIGINT) AS cbg
                   FROM (SELECT t[i] || ' ' || t[i+1] AS bg
                         FROM toks, unnest(range(1, len(t))) AS u(i)
                         WHERE source = 'src0')
-                  GROUP BY bg),
+                  GROUP BY bg ORDER BY cbg DESC, bg LIMIT 512)),
         corpus AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
                    FROM toks, unnest(range(1, len(t))) AS u(i)
                    WHERE source <> 'src0'),
@@ -521,13 +527,10 @@ object StreamQueries {
                count(*) AS cnt
         FROM v, b GROUP BY bucket ORDER BY bucket"""),
       build = (s, d) => {
-        val r = graft.operators.Sketches.eventBounds(s, d).head()
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"q43s: events.value in $d has no non-null rows — " +
-            "cannot fix the sketch domain [lo, hi]")
+        // deploy-time scalar config; memoized eager read (see its scaladoc)
+        val (lo, hi) = graft.operators.Sketches.eventBoundsScalar(s, d)
         Streams.runToMemory(
-          Streams.histogramCounts(
-            Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),
+          Streams.histogramCounts(Streams.eventsStream(s, d), lo, hi),
           unique("q43s"))
           .orderBy("bucket")
       }),
@@ -554,13 +557,10 @@ object StreamQueries {
         FROM v, b GROUP BY event_type, bucket
         ORDER BY event_type, bucket"""),
       build = (s, d) => {
-        val r = graft.operators.Sketches.eventBounds(s, d).head()
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"q47s: events.value in $d has no non-null rows — " +
-            "cannot fix the sketch domain [lo, hi]")
+        // deploy-time scalar config; memoized eager read (see its scaladoc)
+        val (lo, hi) = graft.operators.Sketches.eventBoundsScalar(s, d)
         Streams.runToMemory(
-          Streams.keyedHistogramCounts(
-            Streams.eventsStream(s, d), r.getDouble(0), r.getDouble(1)),
+          Streams.keyedHistogramCounts(Streams.eventsStream(s, d), lo, hi),
           unique("q47s"))
           .orderBy("event_type", "bucket")
       }),

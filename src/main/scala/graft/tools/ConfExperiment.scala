@@ -28,22 +28,35 @@ object ConfExperiment {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A query that ERRORS is excluded from EVERY rep's total (ADVICE r7: a
+    // conf change that makes queries fail fast must not win the A/B on the
+    // strength of its fast failures) — totals from different conf runs stay
+    // comparable only over the queries that succeeded everywhere, so the
+    // error count is printed next to TOTAL and any nonzero count means the
+    // comparison is void for those queries.
     val totals = Array.fill(reps)(0.0)
+    var errored = List.empty[String]
     val qs = SparkEntry.queries
     names.foreach { n =>
       val fn = qs(n)
       var last = 0.0
-      (0 until reps).foreach { r =>
+      var failed = false
+      val secs = (0 until reps).map { r =>
         val t0 = System.nanoTime()
         try { fn(spark, d).count() } catch { case e: Throwable =>
+          failed = true
           println(s"[exp] $n ERR ${e.getClass.getSimpleName}") }
         last = (System.nanoTime() - t0) / 1e9
-        totals(r) += last
+        last
       }
-      println(f"[exp] $n%-28s warm $last%6.3f s")
+      if (failed) errored ::= n
+      else secs.zipWithIndex.foreach { case (s, r) => totals(r) += s }
+      println(f"[exp] $n%-28s warm $last%6.3f s${if (failed) "  [EXCLUDED: error]" else ""}")
     }
     totals.zipWithIndex.foreach { case (t, i) =>
-      println(f"[exp] TOTAL rep${i + 1} $t%8.2f s  (${names.size} queries)")
+      println(f"[exp] TOTAL rep${i + 1} $t%8.2f s  " +
+        f"(${names.size - errored.size} queries, ${errored.size} errored" +
+        (if (errored.nonEmpty) s": ${errored.reverse.mkString(",")})" else ")"))
     }
     spark.stop()
   }

@@ -105,13 +105,25 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_pii_docs") ==
         ids.count(i => i % 7 == 0 || i % 11 == 0 || i % 13 == 0))
     }
-    // redaction is total: no un-redacted email/phone/ip survives any doc.
-    // Recompute one doc's redacted text by hand through the same rule.
-    val probe = docs.collectFirst { case (id, _) if id % 7 == 0 => id }.get
-    val red = graft.Tables.documents(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("doc_id") === probe)
-      .select(org.apache.spark.sql.functions.col("text")).head.getString(0)
-    assert(!red.contains("@")) // corpus text itself is pii-free
+    // redaction is total: run the ACTUAL scrubber and assert no un-redacted
+    // email/phone/ip survives in any redacted text, and that a known
+    // injected doc carries the <EMAIL> placeholder (ADVICE r7: the previous
+    // probe read the ORIGINAL text, which only proved the corpus is
+    // pii-free — redaction itself went untested here).
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+".r
+    val phoneRe = "555-[0-9]{4}".r
+    val ipRe    = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}".r
+    val reds = TextAnalysis.piiScrubbed(graft.Tables.documents(spark, dir))
+      .select("doc_id", "red").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("red")))
+    assert(reds.nonEmpty)
+    reds.foreach { case (_, t) =>
+      assert(emailRe.findFirstIn(t).isEmpty, s"email survived redaction: $t")
+      assert(phoneRe.findFirstIn(t).isEmpty, s"phone survived redaction: $t")
+      assert(ipRe.findFirstIn(t).isEmpty, s"ip survived redaction: $t")
+    }
+    assert(reds.collectFirst { case (id, t) if id % 7 == 0 => t }
+      .exists(_.contains("<EMAIL>")))
   }
 
   test("t16 blocklist gate: kept+dropped partitions the corpus, hits match") {
@@ -126,7 +138,10 @@ class TextAnalysisSpec extends SparkTestBase {
         src -> rows.map { r =>
           val t = r.getAs[String]("text")
           val hits = re.findAllIn(t).length
-          val rate = hits.toLong * 1000 / t.split(" ").length
+          // split limit -1 keeps trailing empty strings — the semantics BOTH
+          // engines use (Spark split / DuckDB string_split); Java's default
+          // limit-0 drops them (ADVICE r7 latent mismatch)
+          val rate = hits.toLong * 1000 / t.split(" ", -1).length
           (hits.toLong, rate)
         }
       }
