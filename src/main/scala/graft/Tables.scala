@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -96,5 +96,24 @@ object Tables {
     normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Normalize `embeddings.embedding` to `array<float>` whatever element
+    * width the producer wrote — the same schema-on-read tolerance as
+    * [[normalizeEventTs]], for the column the whole ANN/dedup family keys
+    * on. Every kernel (`ArrayMath.dot`, `getSeq[Float]` collects, LSH
+    * planes) assumes float elements; a regenerated lake that widened to
+    * double would otherwise break 20+ queries at once. The DuckDB oracles
+    * read the same narrowed values (`embedding::FLOAT[]::DOUBLE[]` — a
+    * no-op on today's float files), so hash parity survives either
+    * encoding. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        sys.error(s"embeddings.embedding: expected an array column, got $other")
+    }
+  }
 }

@@ -680,7 +680,7 @@ object Dedup {
       "d05_embedding_neardup",
       covers = "X5 north-star",
       oracle = Some("""
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        WITH e AS (SELECT vec_id, label, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings)
         SELECT id_a, id_b, cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round(list_dot_product(a.v, b.v) /
@@ -849,7 +849,7 @@ object Dedup {
       covers = "X5 north-star",
       oracle = Some("""
         WITH RECURSIVE
-        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, label, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         pairs AS (SELECT id_a, id_b FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round(list_dot_product(a.v, b.v) /

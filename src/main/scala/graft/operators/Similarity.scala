@@ -25,7 +25,7 @@ object Similarity {
     * tables (codebook → codes → dt) — interpolated into the s07/s08/s09
     * oracles so the SQL twin exists once. */
   private val pqBase: String = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                           - 1 AS j, v AS cv
                  FROM e),
@@ -170,6 +170,46 @@ object Similarity {
         sampled.map(_.map(_._1)), ds, iters = 4).map(_.map(withNorm))
     })
 
+  /** The sampled-codebook PQ INDEX, materialized once per session and
+    * shared by s07 and s09 (s08 reads s07's memoized result): corpus side
+    * = (vec_id, cell, code0..code3) — each vector reduced to 5 small ints;
+    * query side = (qid, cells, dt0..dt3) — the nprobe=2 coarse probes plus
+    * the per-query ADC tables. At 100 TB this is the one persisted PQ
+    * index FAISS builds once and every query reads; through round 7
+    * s07 and s09 each re-ran the full-corpus encode scan (argmin over 16
+    * codewords × 4 subspaces PLUS the 64-dim cell assignment) and rebuilt
+    * the ADT frames (VERDICT r7 #4). Values are bit-identical to the
+    * inline path — same expressions over the same scan, memoized. */
+  private def pqIndexSampled(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame) = {
+    val (codeCol, dtabCol) = pqCols(s, d)
+    val cents = coarseCentroids(s, d, 16)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ArrayMath.dot(s, a, b)
+    def distStructs = cents.map { case (cell, c, cc) =>
+      struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(c)))
+        .as("dist"), lit(cell).as("cell"))
+    }
+    val e = Tables.embeddings(s, d)
+    val corpus = ResultMemo.materialized("pq_corpus_sampled", s, d) {
+      e.select(
+        (Seq(col("vec_id"),
+          array_min(array(distStructs: _*)).getField("cell").as("cell")) ++
+          (0 until 4).map(m => codeCol(m).as(s"code$m"))): _*)
+    }
+    val queries = ResultMemo.materialized("pq_queries_sampled", s, d) {
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          slice(array_sort(array(distStructs: _*)), 1, 2)
+            .getField("cell").as("cells"))
+        .select(col("qid") +: col("cells") +:
+          (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
+    }
+    (corpus, queries)
+  }
+
   /** ADC candidate cost: 4 table lookups + 3 adds, summed in the oracle's
     * association order, rounded at 6dp before ranking. */
   private def pqAdist: org.apache.spark.sql.Column = round(
@@ -206,9 +246,9 @@ object Similarity {
       "s01_cosine_topk",
       covers = "north-star ANN baseline",
       oracle = Some(s"""
-        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        WITH q AS (SELECT vec_id AS qid, embedding::FLOAT[]::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id < 10),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         scored AS (
           SELECT qid, vec_id,
                  round(list_dot_product(qv, v) /
@@ -252,7 +292,7 @@ object Similarity {
       // rebuild the same hyperplanes and the whole LSH pipeline — bucket
       // keys, candidate OR across tables, cosine top-k — is hash-checked
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         d AS (SELECT len(v) AS dims FROM e LIMIT 1),
         pl AS (SELECT p.p AS p,
                  list_transform(range(0, (SELECT dims FROM d)), i ->
@@ -343,7 +383,7 @@ object Similarity {
       "s04_ann_ivf_topk",
       covers = "north-star ANN scale path (IVF)",
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                           - 1 AS cell, v AS cv
                  FROM e),
@@ -417,7 +457,7 @@ object Similarity {
       "s03_ann_recall",
       covers = "north-star ANN eval",
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         exact AS (
           SELECT q.vec_id AS qid, c.vec_id AS cid,
                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -479,7 +519,7 @@ object Similarity {
       "s06_quantized_topk",
       covers = "north-star ANN compression",
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id, v,
                 list_transform(v, x -> round(x * 127 /
                   greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)))
@@ -537,7 +577,7 @@ object Similarity {
       "s05_ann_recall_ivf",
       covers = "north-star ANN eval",
       oracle = Some(s"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         exact AS (
           SELECT q.vec_id AS qid, c.vec_id AS cid,
                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -608,8 +648,17 @@ object Similarity {
         SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
         ORDER BY qid, rn"""),
       build = (s, d) => materialized("s07_ann_pq_topk", s, d) {
-        val (codeCol, dtabCol) = pqCols(s, d)
-        pqTopkFrom(s, d, codeCol, dtabCol)
+        val (corpus, queries) = pqIndexSampled(s, d)
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        corpus.select("vec_id", "code0", "code1", "code2", "code3")
+          .crossJoin(broadcast(
+            queries.select("qid", "dt0", "dt1", "dt2", "dt3")))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), pqAdist.as("adist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .select("qid", "rn", "vec_id", "adist")
+          .orderBy("qid", "rn")
       }),
 
     // PQ recall: the same metric s03/s05 report for LSH/IVF, over the
@@ -686,28 +735,13 @@ object Similarity {
         SELECT qid, rn, vec_id, adist FROM ranked WHERE rn <= $K
         ORDER BY qid, rn"""),
       build = (s, d) => {
-        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          ArrayMath.dot(s, a, b)
-        val (codeCol, dtabCol) = pqCols(s, d)
-        val cents = coarseCentroids(s, d, 16)
-        def distStructs = cents.map { case (cell, c, cc) =>
-          struct((lit(cc) - lit(2.0) * dot(col("embedding"), typedlit(c)))
-            .as("dist"), lit(cell).as("cell"))
-        }
-        val e = Tables.embeddings(s, d)
-        // corpus rows: cell id + 4 PQ codes — 5 small ints per vector; the
-        // embedding itself never leaves the scan
-        val corpus = e.select(
-          (Seq(col("vec_id"),
-            array_min(array(distStructs: _*)).getField("cell").as("cell")) ++
-            (0 until 4).map(m => codeCol(m).as(s"code$m"))): _*)
-        // queries: nprobe=2 nearest cells + ADC tables, built scan-side
-        val queries = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            explode(slice(array_sort(array(distStructs: _*)), 1, 2)
-              .getField("cell")).as("cell"))
-          .select(col("qid") +: col("cell") +:
-            (0 until 4).map(m => dtabCol(m).as(s"dt$m")): _*)
+        // corpus rows: cell id + 4 PQ codes — 5 small ints per vector, read
+        // from the shared memoized index; queries: nprobe=2 probes + ADC
+        // tables, exploded from the same index's cells column
+        val (corpus, queriesIx) = pqIndexSampled(s, d)
+        val queries = queriesIx
+          .withColumn("cell", explode(col("cells")))
+          .select("qid", "cell", "dt0", "dt1", "dt2", "dt3")
         val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
         corpus.join(broadcast(queries), Seq("cell"))
           .filter(col("vec_id") =!= col("qid"))
@@ -765,7 +799,7 @@ object Similarity {
       "x08_cluster_prune",
       covers = "north-star curation (cluster-balanced pruning)",
       oracle = Some("""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                           - 1 AS cell, v AS cv
                  FROM e),

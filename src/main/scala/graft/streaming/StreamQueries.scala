@@ -258,7 +258,7 @@ object StreamQueries {
       "s11s_stream_ann_index",
       covers = "X5 D9 streaming north-star ANN",
       oracle = Some("""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::FLOAT[]::DOUBLE[] AS v FROM embeddings),
         d AS (SELECT len(v) AS dims FROM e LIMIT 1),
         pl AS (SELECT p.p AS p,
                  list_transform(range(0, (SELECT dims FROM d)), i ->

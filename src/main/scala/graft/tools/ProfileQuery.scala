@@ -46,10 +46,11 @@ object ProfileQuery {
       })
 
     (1 to runs).foreach { r =>
+      val j0 = jobs.size()
       val t0 = System.nanoTime()
       val n  = fn(spark, d).count()
       println(f"[prof] $name run $r: ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
-        f"($n rows)")
+        f"($n rows, ${jobs.size() - j0} jobs)")
     }
     spark.stop()
   }

@@ -63,4 +63,28 @@ class SchemaAuditSpec extends SparkTestBase {
     assert(emb("embedding").dataType.isInstanceOf[ArrayType],
       emb("embedding").dataType)
   }
+
+  test("embeddings.embedding normalizes to array<float> whatever the file width") {
+    import org.apache.spark.sql.types._
+    // today's files: already float — loader must be a no-op
+    assert(Tables.embeddings(spark, dir).schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true) ||
+      Tables.embeddings(spark, dir).schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    // a regenerated lake that widened to double must be absorbed (the
+    // events.ts lesson, applied to the column the ANN family keys on):
+    // write a double-encoded twin and load it through the same path
+    val tmp = java.nio.file.Files.createTempDirectory("emb-audit").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Tables.embeddings(spark, tmp).schema("embedding").dataType
+    assert(got.asInstanceOf[ArrayType].elementType == FloatType,
+      s"double-encoded lake must narrow to float on read, got $got")
+    // and the narrowed values round-trip exactly (float→double→float)
+    val a = Tables.embeddings(spark, dir).selectExpr("vec_id", "embedding[0] e")
+    val b = Tables.embeddings(spark, tmp).selectExpr("vec_id", "embedding[0] e")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
