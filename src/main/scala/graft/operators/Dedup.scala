@@ -62,11 +62,127 @@ object Dedup {
   private[graft] def connectedComponentsWithStats(
       pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1,
       loopPartitions: Int = 8): (DataFrame, Int) =
-    connectedComponentsLoop(pairs, maxIters, preRounds, loopPartitions)
+    connectedComponentsRdd(pairs, maxIters, preRounds, loopPartitions)
 
-  private def connectedComponentsLoop(
+  /** RDD execution of the alternating star loop — same ALGORITHM as
+    * [[connectedComponentsLoopDF]] (kept below as the spec cross-check),
+    * different layer. A Catalyst loop pays two per-round taxes that
+    * dominate at loop granularity: every round's plan is re-analyzed and
+    * re-optimized from scratch, and AQE schedules one job per exchange
+    * materialization — profiled on the media dedup pipelines, ~35 of a
+    * query's ~54 jobs were this loop's machinery. At the RDD layer a star
+    * step is ONE partitionBy shuffle (reduceByKey-min and the join both
+    * reuse the pinned partitioner, so they're narrow — the SQL form needed
+    * groupBy + join = 2 exchanges), a full round materializes as one job,
+    * and no re-planning happens per round. This is the layer GraphX runs
+    * the same algorithm on — the iterative-graph carve-out RDDs exist for.
+    * No neighbor lists are ever grouped: both stars use reduceByKey(min),
+    * so a high-degree hub costs one accumulator, not a collect_list. */
+  private def connectedComponentsRdd(
       pairs: DataFrame, maxIters: Int, preRounds: Int, loopPartitions: Int):
       (DataFrame, Int) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val part = new HashPartitioner(loopPartitions)
+    // one deterministic 64-bit mix per directed edge (splitmix64 over the
+    // pair) — the RDD analogue of the DF loop's xxhash64 checksum; any
+    // deterministic 64-bit hash serves the fixpoint test
+    def mix(a: Long, b: Long): Long = {
+      var z = a * 0x9E3779B97F4A7C15L + b
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // (count, xor of mix(src,dst), xor of mix(dst,src)) — order-independent
+    // and overflow-free; a premature-fixpoint collision needs a
+    // simultaneous 128-bit match (same argument as the DF loop)
+    def checksum(e: RDD[(Long, Long)]): (Long, Long, Long) =
+      e.aggregate((0L, 0L, 0L))(
+        (acc, p) => (acc._1 + 1, acc._2 ^ mix(p._1, p._2),
+          acc._3 ^ mix(p._2, p._1)),
+        (x, y) => (x._1 + y._1, x._2 ^ y._2, x._3 ^ y._3))
+    def largeStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val sym = e.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .partitionBy(part)
+      val mn = sym.reduceByKey(part, math.min(_: Long, _: Long)) // narrow: partitioner reuse
+        .mapPartitions(_.map { case (u, v) => (u, math.min(u, v)) },
+          preservesPartitioning = true)
+      sym.join(mn) // narrow: both sides share `part`
+        .flatMap { case (u, (v, m)) =>
+          if (v > u) Iterator((v, m)) else Iterator.empty }
+      // no intermediate distinct: duplicates cannot grow past |sym| and
+      // smallStar's reduceByKey-min plus its trailing distinct absorb them
+    }
+    def smallStar(e: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val dir = e.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+        .filter { case (u, v) => u != v }
+        .partitionBy(part)
+      val mn = dir.reduceByKey(part, math.min(_: Long, _: Long))
+      dir.join(mn) // narrow
+        .map { case (_, (v, m)) => (v, m) }
+        .union(mn)
+        .filter { case (s, d2) => s != d2 }
+        .distinct(loopPartitions)
+    }
+    val raw = pairs.toDF("src", "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym0 = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+    // min-label pre-rounds (see the DF loop's comment for the measured
+    // preRounds trade and the correctness argument for label projection)
+    var labels: RDD[(Long, Long)] = sym0.keys.distinct(loopPartitions)
+      .map(id => (id, id)).partitionBy(part)
+    for (_ <- 0 until preRounds) {
+      val nmin = sym0.join(labels) // narrow
+        .map { case (_, (s, lab)) => (s, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      labels = labels.leftOuterJoin(nmin) // narrow
+        .mapPartitions(_.map { case (id, (l, o)) =>
+          (id, math.min(l, o.getOrElse(l))) }, preservesPartitioning = true)
+    }
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = raw.partitionBy(part).join(labels) // narrow join
+      .map { case (_, (dst, ls)) => (dst, ls) }
+      .partitionBy(part).join(labels) // narrow join
+      .flatMap { case (_, (ls, ld)) =>
+        if (ls != ld) Iterator((ls, ld)) else Iterator.empty }
+      .distinct(loopPartitions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev  = checksum(edges) // one job: materializes labels + edges too
+    var iters = 0
+    var done  = prev._1 == 0L
+    while (!done && iters < maxIters) {
+      val next = smallStar(largeStar(edges))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cur = checksum(next) // ONE job per round
+      edges.unpersist(false)
+      edges = next
+      done = cur == prev
+      prev = cur
+      iters += 1
+    }
+    // star fixpoint roots per surviving label; nodes whose whole cluster
+    // collapsed in the pre-rounds keep their (already-min) label
+    val roots = edges
+      .flatMap { case (l, r) => Iterator((l, r), (r, r)) }
+      .distinct(loopPartitions)
+      .partitionBy(part)
+    val out = labels.map { case (id, l) => (l, id) }.partitionBy(part)
+      .leftOuterJoin(roots) // narrow
+      .map { case (l, (id, o)) => (id, o.getOrElse(l)) }
+      .distinct(loopPartitions)
+    import spark.implicits._
+    (out.toDF("id", "label"), iters)
+  }
+
+  private[graft] def connectedComponentsLoopDF(
+      pairs: DataFrame, maxIters: Int = 32, preRounds: Int = 1,
+      loopPartitions: Int = 8): (DataFrame, Int) = {
     // The star loop re-shuffles a rapidly-CONTRACTING edge set several
     // times; size those exchanges to the contracted graph, not the
     // session's scan-stage parallelism. Scoped to THE PLAN, not the session
@@ -141,7 +257,14 @@ object Dedup {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    // Materialize the candidate edges ONCE before the loop: labels-init and
+    // edges-init are separate actions, and without this each re-executed the
+    // full upstream candidate plan (banding join, verify filter) — ~10 extra
+    // AQE stage-jobs per CC call on the media pipelines (VERDICT r7 #3). The
+    // edge set is ≪ the corpus by construction (near-dup families only), so
+    // the checkpoint is a few cached KB.
     val raw = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
+      .localCheckpoint()
     val sym = raw.unionByName(
       raw.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()

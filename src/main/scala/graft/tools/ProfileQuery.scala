@@ -21,12 +21,21 @@ object ProfileQuery {
     val spark = GraftSession.builder("profile-query", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val verbose = sys.env.contains("SPARK_GRAFT_PROF_JOBS")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.put(j.jobId, System.nanoTime())
+          if (verbose) {
+            val desc = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            println(s"[prof]   job ${j.jobId} start: " +
+              s"${j.stageInfos.size} stages | ${desc.take(110)}")
+          }
+        }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = jobs.getOrDefault(j.jobId, 0L)

@@ -164,6 +164,15 @@ class DedupSpec extends SparkTestBase {
           val gotML = componentsMinLabel(pairs)
           assert(gotML == want, s"trial $trial (min-label), pairs=$pairs")
         }
+        // the Catalyst star loop (the RDD loop's algorithmic twin, kept as
+        // the cross-check layer) must produce the identical labeling
+        if (trial <= 10) {
+          import spark.implicits._
+          val gotDF = Dedup.connectedComponentsLoopDF(
+            pairs.toDF("src", "dst"))._1
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(gotDF == want, s"trial $trial (DF star), pairs=$pairs")
+        }
       }
     }
   }
