@@ -678,6 +678,64 @@ object Multimodal {
           }
           .toDF("media_id", "width", "height", "pix_md5")
           .orderBy("media_id")
+      }),
+
+    // End-to-end MULTIMODAL curation pipeline — the p03/p04 composition
+    // pattern over the media lake: real PNG decode → perceptual-hash dedup
+    // (m03's shared banding/CC plan, via the memoized fingerprint index) →
+    // catalog-metadata quality gate (min pixel count — the stored width ×
+    // height, exactly what an image-curation pass reads before touching
+    // bytes) → per-source A-Res weighted quota (x01's sampler, weighted by
+    // pixel count, the "keep the biggest images per source" mix policy).
+    // Every stage is a separately-verified operator. The oracle composes
+    // the SAME chain in SQL, reading the dedup decisions from m03's pinned
+    // fixture (dHash has no SQL twin; the fixture is the sf0.01 pin, so
+    // like s10/e03 this row is oracle-checked at the driver's gate SF).
+    QueryDef(
+      "p05_media_curation",
+      covers = "D6 X5 W6 multimodal curation north-star",
+      oracle = Some("""
+        WITH keep AS (SELECT media_id
+                      FROM read_parquet('/root/repo/fixtures/m03_image_phash_dedup.parquet')
+                      WHERE keep = 1),
+        img AS (SELECT d.doc_id, d.source,
+                       CAST(d.doc_id % 24 + 8 AS INT) AS w,
+                       CAST(d.doc_id % 16 + 8 AS INT) AS h
+                FROM documents d JOIN keep k ON k.media_id = d.doc_id),
+        gated AS (SELECT * FROM img WHERE w * h >= 200),
+        ranked AS (SELECT source, doc_id, w * h AS pixels,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       pow(((doc_id * 2654435761) % 4294967296)
+                           / 4294967296.0, 1.0 / (w * h)) DESC,
+                       doc_id) AS rk
+                   FROM gated)
+        SELECT source, rk, doc_id, CAST(pixels AS BIGINT) AS pixels
+        FROM ranked WHERE rk <= 10
+        ORDER BY source, rk"""),
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val media = mediaTable(s, d).toDF()
+          .filter(col("kind") === "image")
+          .select(col("media_id"), col("width"), col("height"))
+        val keep = hammingDedupDecisions(phashFrame(s, d), maxBits = 6)
+          .filter(col("keep") === 1).select("media_id")
+        val img = media.join(keep, "media_id")
+          .join(Tables.documents(s, d)
+            .select(col("doc_id").as("media_id"), col("source")), "media_id")
+        val gated = img.filter(col("width") * col("height") >= 200)
+        val ares = pow(
+          (col("media_id") * lit(2654435761L)) % lit(4294967296L) /
+            lit(4294967296.0),
+          lit(1.0) / (col("width") * col("height")))
+        gated
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(ares.desc, col("media_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("rk"),
+            col("media_id").as("doc_id"),
+            (col("width") * col("height")).cast("long").as("pixels"))
+          .orderBy("source", "rk")
       })
   )
 

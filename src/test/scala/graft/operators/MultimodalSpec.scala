@@ -305,4 +305,29 @@ class MultimodalSpec extends SparkTestBase {
     // hashes discriminate content (not a constant of the dims)
     assert(out.map(_.getAs[String]("pix_md5")).distinct.length > 1)
   }
+
+  test("p05 media curation: deduped, gated, at most 10 kept per source") {
+    val q = Multimodal.defs.find(_.name == "p05_media_curation").get
+    val out = q.build(spark, dir).collect()
+    assert(out.nonEmpty)
+    // quota: rk is 1..10 and contiguous per source
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.head == 1 && rks.last == rks.length && rks.length <= 10,
+        s"$src quota ranks: ${rks.mkString(",")}")
+    }
+    // gate: every surviving image clears the pixel floor, and the pixel
+    // count matches the deterministic synthesis dims
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val px = (id % 24 + 8) * (id % 16 + 8)
+      assert(r.getAs[Long]("pixels") == px && px >= 200)
+    }
+    // dedup: only keep=1 representatives survive into the quota
+    val kept = Multimodal.defs.find(_.name == "m03_image_phash_dedup").get
+      .build(spark, dir).filter(col("keep") === 1)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => kept(r.getAs[Long]("doc_id"))))
+  }
 }
