@@ -1126,7 +1126,10 @@ object Dedup {
           .select(col("doc_id"),
             HashKernels.minhashSigCol(s, col("text")).as("sig"))
           .filter(col("sig").isNotNull)
-        val deltaBands = bandsOf(deltaSig, "doc_id")
+        // the delta batch is small by construction; checkpoint its bands
+        // and the candidate set once — each feeds three consumers below,
+        // and without this the sign+band plan re-executes per consumer
+        val deltaBands = bandsOf(deltaSig, "doc_id").localCheckpoint()
         val candC = corpusBands.join(broadcast(deltaBands), Seq("b", "bkey"))
           .select(col("doc_id"), col("partner")).distinct()
           .withColumn("kind", lit("corpus"))
@@ -1137,7 +1140,7 @@ object Dedup {
           .filter(col("partner") < col("doc_id"))
           .select(col("doc_id"), col("partner")).distinct()
           .withColumn("kind", lit("batch"))
-        val cand = candC.unionByName(candD)
+        val cand = candC.unionByName(candD).localCheckpoint()
         def setsFor(ids: DataFrame, idName: String, setName: String) =
           docs.join(ids, docs("doc_id") === ids(idName), "left_semi")
             .select(col("doc_id").as(idName),

@@ -656,6 +656,14 @@ object TextAnalysis {
     * shared with the p04 composition pipeline's quality gate. */
   private[graft] def lmScoredFrame(
       s: org.apache.spark.sql.SparkSession, d: String)
+    : org.apache.spark.sql.DataFrame =
+    // memoized: t14 and p04's gate both consume the same per-doc scores,
+    // and the corpus bigram explode is the expensive half of each — the
+    // persisted quality-score column a curation pipeline writes once
+    ResultMemo.materialized("lm_scored", s, d)(lmScoredFrameRaw(s, d))
+
+  private def lmScoredFrameRaw(
+      s: org.apache.spark.sql.SparkSession, d: String)
     : org.apache.spark.sql.DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
