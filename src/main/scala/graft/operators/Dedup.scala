@@ -177,7 +177,16 @@ object Dedup {
       .map { case (l, (id, o)) => (id, o.getOrElse(l)) }
       .distinct(loopPartitions)
     import spark.implicits._
-    (out.toDF("id", "label"), iters)
+    // materialize the labeling eagerly, then drop the loop's persisted
+    // blocks: the returned frame no longer depends on them, so a session
+    // that runs many CC consumers (eight queries do) doesn't accumulate
+    // loop RDDs in the block manager until the ContextCleaner gets around
+    // to them. The result is small — one (id, label) row per graph node.
+    val result = out.toDF("id", "label").localCheckpoint()
+    raw.unpersist(false)
+    labels.unpersist(false)
+    edges.unpersist(false)
+    (result, iters)
   }
 
   private[graft] def connectedComponentsLoopDF(

@@ -34,4 +34,13 @@ object ResultMemo {
       df
     })
   }
+
+  /** Drop every memo belonging to `s` — for a bench pass boundary, where
+    * the next pass must re-execute real plans rather than read pass 1's
+    * checkpoints. The orphaned checkpoint blocks are reclaimed by the
+    * ContextCleaner once the dropped DataFrames are GC'd. */
+  def clearSession(s: SparkSession): Unit = synchronized {
+    val id = System.identityHashCode(s)
+    cache = cache.filterNot(_._1._1 == id)
+  }
 }

@@ -165,16 +165,40 @@ object Streams {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Stream the embeddings table out of an sf directory. */
+  /** The embedding element width, probed once per directory from the batch
+    * reader's footer — the eventsTsType pattern applied to the column the
+    * ANN family keys on: pinning float against a double-encoded lake makes
+    * the parquet reader throw on every micro-batch, while the batch side
+    * (`Tables.embeddings`) absorbs either width. */
+  private val embElemMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
+
+  private def embElemType(spark: SparkSession, sfDir: String): DataType =
+    embElemMemo.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .schema("embedding").dataType match {
+        case ArrayType(et, _) => et
+        case other => sys.error(s"embeddings.embedding: expected array, got $other")
+      })
+
+  /** Stream the embeddings table out of an sf directory, normalized to
+    * `array<float>` whatever element width the files carry (the batch
+    * loader's schema-on-read tolerance, mirrored for the ingest path). */
   def embeddingsStream(
       spark: SparkSession,
       sfDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(embeddingsSchema)
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(embElemType(spark, sfDir))),
+        StructField("label", IntegerType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "embeddings*.parquet")
       .parquet(sfDir)
+    if (embElemType(spark, sfDir) == FloatType) raw
+    else raw.withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 
   /** Streaming exact dedup: emit each content hash the FIRST time it is
     * seen, across micro-batches — the ingestion-time dedup of a continuously

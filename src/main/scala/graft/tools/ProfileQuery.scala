@@ -58,7 +58,11 @@ object ProfileQuery {
       val j0 = jobs.size()
       val t0 = System.nanoTime()
       val n  = fn(spark, d).count()
-      println(f"[prof] $name run $r: ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async (the Bench.scala lesson): give the bus a
+      // beat so the run's last job-start events land in this run's count
+      Thread.sleep(100L)
+      println(f"[prof] $name run $r: $sec%6.2f s " +
         f"($n rows, ${jobs.size() - j0} jobs)")
     }
     spark.stop()

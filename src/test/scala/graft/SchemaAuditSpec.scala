@@ -78,7 +78,14 @@ class SchemaAuditSpec extends SparkTestBase {
     spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", org.apache.spark.sql.functions.col("embedding")
         .cast("array<double>"))
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/_stage")
+    // the testdata layout is a single FILE per table (the streaming glob
+    // depends on it); lift the part file out of Spark's directory output
+    val partFile = new java.io.File(s"$tmp/_stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(partFile.toPath,
+      java.nio.file.Paths.get(s"$tmp/embeddings.parquet"))
     val got = Tables.embeddings(spark, tmp).schema("embedding").dataType
     assert(got.asInstanceOf[ArrayType].elementType == FloatType,
       s"double-encoded lake must narrow to float on read, got $got")
@@ -86,5 +93,14 @@ class SchemaAuditSpec extends SparkTestBase {
     val a = Tables.embeddings(spark, dir).selectExpr("vec_id", "embedding[0] e")
     val b = Tables.embeddings(spark, tmp).selectExpr("vec_id", "embedding[0] e")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the INGEST path (s11s's reader) must absorb the same regen: streamed
+    // rows off the double-encoded twin equal the batch read, as floats
+    val streamed = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.embeddingsStream(spark, tmp, maxFilesPerTrigger = 16)
+        .selectExpr("vec_id", "embedding[0] e"),
+      "emb_audit_stream", mode = "append")
+    assert(streamed.schema("e").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    assert(streamed.exceptAll(b).isEmpty && b.exceptAll(streamed).isEmpty)
   }
 }
