@@ -108,6 +108,12 @@ object Bench {
       catch { case _: Throwable => () }
       try operators.TextAnalysis.lmModelBroadcast(spark, sfDir)
       catch { case _: Throwable => () }
+      try operators.TextAnalysis.lmScoredFrame(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      // the PQ index pair (corpus codes + query ADC tables) — the FAISS
+      // artifact s07/s09 read; same class as the signature frame
+      try operators.Similarity.warmPqIndex(spark, sfDir)
+      catch { case _: Throwable => () }
     }
     warmIndexes()
 

@@ -210,6 +210,14 @@ object Similarity {
     (corpus, queries)
   }
 
+  /** Build the shared PQ index memos untimed (the bench's per-pass index
+    * warm-up — same artifact class as `Dedup.warmSignatureIndex`). */
+  private[graft] def warmPqIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val (corpus, queries) = pqIndexSampled(s, d)
+    corpus.count(); queries.count(): Unit
+  }
+
   /** ADC candidate cost: 4 table lookups + 3 adds, summed in the oracle's
     * association order, rounded at 6dp before ranking. */
   private def pqAdist: org.apache.spark.sql.Column = round(
