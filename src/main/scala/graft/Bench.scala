@@ -51,6 +51,9 @@ object Bench {
         catch { case _: Throwable => () }
       }
       warm.stop()
+      // the warm session's memos reference a stopped context; drop them so
+      // ~30 analyzed plans don't pin heap for the JVM's life
+      operators.ResultMemo.clearSession(warm)
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
       System.gc()
@@ -89,31 +92,28 @@ object Bench {
     // - the trained BPE rank table (t11 emits it, t12 consumes it);
     // - the bigram LM (t14s's broadcast model) and the per-doc LM score
     //   frame (t14 / p04's gate).
+    // A failed artifact build must not kill the bench, but it must be LOUD:
+    // its consumers now carry the bootstrap inside their timed runs, and a
+    // silent miss here is indistinguishable from a slow engine (the r5
+    // regression class this warm-up exists to prevent).
+    def warmed(what: String)(f: => Any): Unit =
+      try { f; () } catch { case e: Throwable =>
+        System.err.println(s"[bench] index warm-up '$what' failed: ${e.getMessage}")
+      }
     def warmIndexes(): Unit = {
-      try operators.Lake.warmLayout(spark, sfDir)
-      catch { case _: Throwable => () }
-      try operators.Multimodal.mediaTable(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      try operators.Multimodal.phashFrame(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      try operators.Multimodal.afpFrame(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      try operators.Multimodal.vhashFrame(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      try operators.Dedup.warmSignatureIndex(spark, sfDir)
-      catch { case _: Throwable => () }
-      try operators.TextAnalysis.warmVocabIndex(spark, sfDir)
-      catch { case _: Throwable => () }
-      try operators.Tokenize.trainMerges(spark, sfDir)
-      catch { case _: Throwable => () }
-      try operators.TextAnalysis.lmModelBroadcast(spark, sfDir)
-      catch { case _: Throwable => () }
-      try operators.TextAnalysis.lmScoredFrame(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
+      warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
+      warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())
+      warmed("afp index")(operators.Multimodal.afpFrame(spark, sfDir).count())
+      warmed("vhash index")(operators.Multimodal.vhashFrame(spark, sfDir).count())
+      warmed("signature index")(operators.Dedup.warmSignatureIndex(spark, sfDir))
+      warmed("vocab index")(operators.TextAnalysis.warmVocabIndex(spark, sfDir))
+      warmed("bpe merges")(operators.Tokenize.trainMerges(spark, sfDir))
+      warmed("bigram lm")(operators.TextAnalysis.lmModelBroadcast(spark, sfDir))
+      warmed("lm scores")(operators.TextAnalysis.lmScoredFrame(spark, sfDir).count())
       // the PQ index pair (corpus codes + query ADC tables) — the FAISS
       // artifact s07/s09 read; same class as the signature frame
-      try operators.Similarity.warmPqIndex(spark, sfDir)
-      catch { case _: Throwable => () }
+      warmed("pq index")(operators.Similarity.warmPqIndex(spark, sfDir))
     }
     warmIndexes()
 
@@ -229,8 +229,11 @@ object Bench {
     // Per-query shuffle bytes go to a side file, not the stdout JSON line:
     // the driver's tail capture is narrow, and a 4 KB line gets truncated
     // (round 1 lost its bench record that way).
-    val sh = results.map { case (k, _, mb, _) => "\"" + k + "\":" + f"$mb%.2f" }
-      .mkString("{", ",", "}")
+    // a query that never succeeded has no measured shuffle — write null,
+    // not a fabricated 0.00 a reader could mistake for shuffle-free
+    val sh = results.map { case (k, _, mb, e) =>
+      "\"" + k + "\":" + (if (e.isEmpty) f"$mb%.2f" else "null")
+    }.mkString("{", ",", "}")
     val shPath = java.nio.file.Paths.get("target/bench_shuffle_mb.json")
     java.nio.file.Files.createDirectories(shPath.getParent)
     java.nio.file.Files.write(shPath, sh.getBytes("UTF-8"))

@@ -272,8 +272,8 @@ object Dedup {
     // AQE stage-jobs per CC call on the media pipelines (VERDICT r7 #3). The
     // edge set is ≪ the corpus by construction (near-dup families only), so
     // the checkpoint is a few cached KB.
-    val raw = pairs.toDF("src", "dst").filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+    val raw = ResultMemo.checkpointed(
+      pairs.toDF("src", "dst").filter(col("src") =!= col("dst")))
     val sym = raw.unionByName(
       raw.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
@@ -1138,7 +1138,7 @@ object Dedup {
         // the delta batch is small by construction; checkpoint its bands
         // and the candidate set once — each feeds three consumers below,
         // and without this the sign+band plan re-executes per consumer
-        val deltaBands = bandsOf(deltaSig, "doc_id").localCheckpoint()
+        val deltaBands = ResultMemo.checkpointed(bandsOf(deltaSig, "doc_id"))
         val candC = corpusBands.join(broadcast(deltaBands), Seq("b", "bkey"))
           .select(col("doc_id"), col("partner")).distinct()
           .withColumn("kind", lit("corpus"))
@@ -1149,7 +1149,7 @@ object Dedup {
           .filter(col("partner") < col("doc_id"))
           .select(col("doc_id"), col("partner")).distinct()
           .withColumn("kind", lit("batch"))
-        val cand = candC.unionByName(candD).localCheckpoint()
+        val cand = ResultMemo.checkpointed(candC.unionByName(candD))
         def setsFor(ids: DataFrame, idName: String, setName: String) =
           docs.join(ids, docs("doc_id") === ids(idName), "left_semi")
             .select(col("doc_id").as(idName),

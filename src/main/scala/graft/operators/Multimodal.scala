@@ -480,8 +480,8 @@ object Multimodal {
     // decision join); checkpoint it once — one row per distinct hash, a
     // few KB — so each consumer reads cached rows instead of re-running
     // the groupBy over the fingerprint frame (VERDICT r7 #3 job shaving)
-    val uniq = hashes.groupBy("dhash").agg(min(col("media_id")).as("hid"))
-      .localCheckpoint()
+    val uniq = ResultMemo.checkpointed(
+      hashes.groupBy("dhash").agg(min(col("media_id")).as("hid")))
     val bands = uniq.select(col("hid"), col("dhash"),
       posexplode(array((0 until 4).map(b =>
         pmod(shiftright(col("dhash"), b * 16), lit(65536L))): _*)))

@@ -35,6 +35,13 @@ object ResultMemo {
     })
   }
 
+  /** Eager localCheckpoint UNLESS running under [[bypass]] — for shared
+    * subframes inside a build (a frame feeding several consumers below
+    * it). Under bypass the raw subtree is returned so plan tooling
+    * (DumpPlans, PlanSpec) sees the real plan, not a checkpoint scan. */
+  def checkpointed(df: DataFrame): DataFrame =
+    if (bypassFlag.get) df else df.localCheckpoint()
+
   /** Drop every memo belonging to `s` — for a bench pass boundary, where
     * the next pass must re-execute real plans rather than read pass 1's
     * checkpoints. The orphaned checkpoint blocks are reclaimed by the

@@ -474,8 +474,9 @@ object Sketches {
         // the exact-truth side feeds three consumers (pair frame, exact
         // union, exact intersection); checkpoint the distinct once instead
         // of re-scanning orders per consumer
-        val dc = o.select(col("o_orderpriority").as("prio"),
-          col("o_custkey").as("c")).distinct().localCheckpoint()
+        val dc = ResultMemo.checkpointed(
+          o.select(col("o_orderpriority").as("prio"),
+            col("o_custkey").as("c")).distinct())
         val ps = dc.select("prio").distinct()
         val pr = ps.select(col("prio").as("pa"))
           .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))

@@ -175,11 +175,14 @@ object Streams {
 
   private def embElemType(spark: SparkSession, sfDir: String): DataType =
     embElemMemo.getOrElseUpdate(sfDir,
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // probe the canonical single-file path; a layout this probe can't
+      // read (e.g. sharded embeddings_*.parquet the glob below tolerates)
+      // falls back to the pinned float schema — the pre-probe behavior
+      try spark.read.parquet(s"$sfDir/embeddings.parquet")
         .schema("embedding").dataType match {
         case ArrayType(et, _) => et
-        case other => sys.error(s"embeddings.embedding: expected array, got $other")
-      })
+        case _ => FloatType
+      } catch { case _: Throwable => FloatType })
 
   /** Stream the embeddings table out of an sf directory, normalized to
     * `array<float>` whatever element width the files carry (the batch
@@ -188,15 +191,19 @@ object Streams {
       spark: SparkSession,
       sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val raw = spark.readStream
-      .schema(StructType(Seq(
+    val elem = embElemType(spark, sfDir)
+    val schema =
+      if (elem == FloatType) embeddingsSchema
+      else StructType(Seq(
         StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(embElemType(spark, sfDir))),
-        StructField("label", IntegerType))))
+        StructField("embedding", ArrayType(elem)),
+        StructField("label", IntegerType)))
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "embeddings*.parquet")
       .parquet(sfDir)
-    if (embElemType(spark, sfDir) == FloatType) raw
+    if (elem == FloatType) raw
     else raw.withColumn("embedding", col("embedding").cast("array<float>"))
   }
 
