@@ -25,6 +25,12 @@ object ConfExperiment {
     sys.env.get("SPARK_GRAFT_AQE").foreach(v => b.config("spark.sql.adaptive.enabled", v))
     sys.env.get("SPARK_GRAFT_CKPT").foreach(p =>
       b.config("spark.sql.streaming.checkpointLocation", p))
+    // generic lever: SPARK_GRAFT_CONF="key=value;key2=value2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
