@@ -176,4 +176,51 @@ class DedupSpec extends SparkTestBase {
       }
     }
   }
+
+  test("adversarial graphs (cliques + chains + dup/self edges) at 100-300 nodes") {
+    // stresses the RDD loop's no-intermediate-distinct path (duplicate
+    // edges between stars), self-loop filtering, and the O(log²) bound on
+    // mixed shapes bigger than the 16-node random trials above
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 100 + rnd.nextInt(200)
+      val base = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      // a few cliques over random node subsets
+      (0 until 3).foreach { _ =>
+        val sz = 4 + rnd.nextInt(8)
+        val nodes = Seq.fill(sz)(rnd.nextInt(n).toLong).distinct
+        for (a <- nodes; b <- nodes if a < b) base += ((a, b))
+      }
+      // one long chain over even ids
+      (0 until n / 2 - 1).foreach(i => base += ((i * 2L, i * 2L + 2)))
+      // noise: random edges, duplicates, self-loops
+      (0 until n).foreach { _ =>
+        val (a, b) = (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+        base += ((a, b)); base += ((a, b)); base += ((a, a))
+      }
+      val pairs = base.toSeq
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      // ground truth covers only nodes with at least one non-self edge
+      // (self-loop-only nodes are filtered by the loop, matching the DF twin)
+      val touched = pairs.collect { case (a, b) if a != b => Seq(a, b) }
+        .flatten.toSet
+      val want = touched.map(k => k -> find(k)).toMap
+      val (labels, iters) = Dedup.connectedComponentsWithStats(
+        pairs.toDF("src", "dst"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"adversarial trial $trial: labels diverge")
+      assert(iters <= 15, s"adversarial trial $trial: $iters star rounds")
+    }
+  }
 }
