@@ -166,6 +166,19 @@ object Dedup {
       prev = cur
       iters += 1
     }
+    // A loop that exits on maxIters WITHOUT the checksum fixpoint feeds
+    // non-star-shaped edges into the roots extraction below and can
+    // silently emit duplicate/wrong (id, label) rows — indistinguishable
+    // from clean convergence to callers (they get iters == maxIters but
+    // none check it). A silent miss must be LOUD (the bench posture).
+    // Star contraction halves component diameter per alternation, so the
+    // default 32-round budget covers graphs no candidate generator here
+    // produces; reaching it means the input, not the budget, is wrong.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsRDD: star loop exhausted maxIters=$maxIters " +
+          "without reaching the checksum fixpoint — labels would be " +
+          "unreliable; raise maxIters or inspect the edge input")
     // star fixpoint roots per surviving label; nodes whose whole cluster
     // collapsed in the pre-rounds keep their (already-min) label
     val roots = edges
@@ -307,6 +320,13 @@ object Dedup {
       prev = cur
       iters += 1
     }
+    // same non-convergence guard as the RDD loop: star-fixpoint roots are
+    // only meaningful if the checksum fixpoint was actually reached
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsLoopDF: star loop exhausted maxIters=$maxIters " +
+          "without reaching the checksum fixpoint — labels would be " +
+          "unreliable; raise maxIters or inspect the edge input")
     // star fixpoint roots per surviving label; nodes whose whole cluster
     // collapsed in the pre-rounds keep their (already-min) label
     val roots = edges.select(col("src").as("l"), col("dst").as("root"))

@@ -511,7 +511,15 @@ object TextAnalysis {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                CAST(sum(ipb) AS BIGINT) // count(*) AS score_milli
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
-      build = (s, d) => lmScoredFrame(s, d).orderBy("doc_id"))
+      // the RAW (unmemoized) scoring path: t14 is the query that CLAIMS
+      // the LM-scoring cost, so its timed run must pay the full bigram
+      // explode + model join every pass — through round 8 it read the
+      // warmed `lmScoredFrame` checkpoint while its DuckDB oracle scored
+      // inline, the exact warm-vs-cold skew the bench design documents
+      // itself as preventing (ADVICE r8). p04's gate keeps the memoized
+      // frame (the persisted quality-score column a curation pipeline
+      // shares), and pays its build at first use per pass.
+      build = (s, d) => lmScoredFrameRaw(s, d).orderBy("doc_id"))
 
 ,
     // PII scrubbing — the redaction pass every training-corpus pipeline

@@ -175,13 +175,23 @@ object Streams {
 
   private def embElemType(spark: SparkSession, sfDir: String): DataType =
     embElemMemo.getOrElseUpdate(sfDir,
-      // probe the canonical single-file path; a layout this probe can't
-      // read (e.g. sharded embeddings_*.parquet the glob below tolerates)
-      // falls back to the pinned float schema — the pre-probe behavior
-      try spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .schema("embedding").dataType match {
-        case ArrayType(et, _) => et
-        case _ => FloatType
+      // probe the first file matching the SAME glob the stream reads
+      // (embeddings*.parquet) — a sharded lake (embeddings_0.parquet, ...)
+      // must hit the probe, not just the canonical single-file layout,
+      // or a double-encoded sharded regen would fail on every micro-batch
+      // (the exact failure this probe exists to absorb). An unreadable or
+      // empty match falls back to the pinned float schema.
+      try {
+        val files = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("embeddings") &&
+            f.getName.endsWith(".parquet")) // file OR Spark-written dir
+          .sortBy(_.getName)
+        files.headOption.map { f =>
+          spark.read.parquet(f.getPath).schema("embedding").dataType match {
+            case ArrayType(et, _) => et
+            case _ => FloatType
+          }
+        }.getOrElse(FloatType)
       } catch { case _: Throwable => FloatType })
 
   /** Stream the embeddings table out of an sf directory, normalized to
