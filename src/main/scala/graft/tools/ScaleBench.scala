@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft._
+
+/** Honest subset benchmark for the SCALE.md measured-trend table: times a
+  * named query subset at ONE sf directory under the SAME discipline as
+  * `graft.Bench` — best-of-N complete PASSES, with the session memos
+  * cleared and the persisted-index warm-up re-run untimed at each pass
+  * boundary — so every pass times real query execution against warm
+  * indexes (a back-to-back per-query rep of a whole-result-memoized query
+  * would "run" as a checkpoint read; see Bench's pass rationale).
+  *
+  * Usage: ScaleBench <sfDir> <names-csv|heavy15> [passes]
+  * Prints one JSON line {"sf":…, "queries":{name:sec}, "total":…} and
+  * writes it to target/scale_bench_<basename(sfDir)>.json.
+  */
+object ScaleBench {
+
+  /** The 15 heaviest queries of the suite (VERDICT r8 #1's list): the
+    * dedup/CC family, the media fingerprints, the data-heavy windows and
+    * mixes, and the composed pipelines. */
+  val heavy15: Seq[String] = Seq(
+    "d03_minhash_lsh", "d04_simhash_pairs", "d06_minhash_verified",
+    "d09_dedup_components", "d13_semantic_dedup",
+    "m03_image_phash_dedup", "m04_audio_afp_dedup", "m05_video_phash_dedup",
+    "t10_bm25_keywords", "q04_token_bins", "x09_importance_resample",
+    "p03_corpus_curation", "p04_training_mix_pipeline", "p05_media_curation",
+    "s07_ann_pq_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val names =
+      if (args.length > 1 && args(1) != "heavy15") args(1).split(",").toSeq
+      else heavy15
+    val passes = (if (args.length > 2) args(2).toInt else 2).max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = GraftSession.builder("graft-scale-bench", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // table footer/catalog warm-up (the bench's pre-loop step)
+    Tables.names.foreach { t =>
+      try {
+        (if (t == "events") Tables.events(spark, sfDir)
+         else Tables.load(spark, sfDir, t)).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] warm-up for $t failed: ${e.getMessage}")
+      }
+    }
+
+    def warmed(what: String)(f: => Any): Unit =
+      try { f; () } catch { case e: Throwable =>
+        System.err.println(s"[scale] index warm-up '$what' failed: ${e.getMessage}")
+      }
+    def warmIndexes(): Unit = {
+      warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
+      warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
+      warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())
+      warmed("afp index")(operators.Multimodal.afpFrame(spark, sfDir).count())
+      warmed("vhash index")(operators.Multimodal.vhashFrame(spark, sfDir).count())
+      warmed("signature index")(operators.Dedup.warmSignatureIndex(spark, sfDir))
+      warmed("vocab index")(operators.TextAnalysis.warmVocabIndex(spark, sfDir))
+      warmed("bpe merges")(operators.Tokenize.trainMerges(spark, sfDir))
+      warmed("bigram lm")(operators.TextAnalysis.lmModelBroadcast(spark, sfDir))
+      warmed("pq index")(operators.Similarity.warmPqIndex(spark, sfDir))
+    }
+
+    val qs = SparkEntry.queries
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    var pass = 0
+    while (pass < passes) {
+      operators.ResultMemo.clearSession(spark)
+      spark.sqlContext.clearCache()
+      System.gc()
+      warmIndexes()
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        try {
+          qs(n)(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best.getOrElse(n, Double.MaxValue)) best(n) = sec
+          System.err.println(f"[scale] pass$pass $n%-28s $sec%7.3f s")
+        } catch { case e: Throwable =>
+          errs(n) = e.getClass.getSimpleName
+          System.err.println(s"[scale] pass$pass $n ERR ${e.getMessage}")
+        }
+        spark.sqlContext.clearCache()
+        System.gc()
+      }
+      pass += 1
+    }
+    val qjson = names.map { n =>
+      "\"" + n + "\":" + best.get(n).map(v => f"$v%.3f")
+        .getOrElse("\"" + errs.getOrElse(n, "?") + "\"")
+    }.mkString("{", ",", "}")
+    val total = names.flatMap(best.get).sum
+    val line =
+      f"""{"sf":"$sfDir","passes":$passes,"total":$total%.3f,"queries":$qjson}"""
+    val base = new java.io.File(sfDir).getName
+    val p = java.nio.file.Paths.get(s"target/scale_bench_$base.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+    spark.stop()
+    println(line)
+  }
+}

@@ -19,7 +19,9 @@ queries, so they are tagged [index-backed] per-row and the total is
 ALSO printed with them excluded — a reader sees both bases instead of
 a silently mixed one.
 
-Usage: python3 tools/paired_bench.py <verify_out_dir> <sf_dir> [reps]
+Usage: python3 tools/paired_bench.py <verify_out_dir> <sf_dir> [reps] [only]
+`only` is an optional comma-separated query-name filter (the SCALE.md
+measured-trend runs use it to pair the heavy-15 subset at each sf).
 Prints per-query seconds and a total, plus the skipped list.
 """
 import json
@@ -36,9 +38,12 @@ import duckdb
 INDEX_BACKED = {"s07_ann_pq_topk", "s09_ann_ivfpq_topk"}
 
 
-def main(out_dir, sf_dir, reps=2):
+def main(out_dir, sf_dir, reps=2, only=None):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     for t in ("region nation customer supplier part orders lineitem "
@@ -76,4 +81,4 @@ def main(out_dir, sf_dir, reps=2):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], *(sys.argv[3:] or []))
+    main(sys.argv[1], sys.argv[2], *(sys.argv[3:5] or []))
