@@ -1170,14 +1170,27 @@ object Dedup {
           .select(col("doc_id"), col("partner")).distinct()
           .withColumn("kind", lit("batch"))
         val cand = ResultMemo.checkpointed(candC.unionByName(candD))
-        def setsFor(ids: DataFrame, idName: String, setName: String) =
-          docs.join(ids, docs("doc_id") === ids(idName), "left_semi")
-            .select(col("doc_id").as(idName),
-              HashKernels.shinglesCol(s, col("text")).as(setName))
-            .filter(col(setName).isNotNull)
-        val x = setsFor(cand.select("doc_id").distinct(), "doc_id", "sh_n")
-        val y = setsFor(cand.select("partner").distinct(), "partner", "sh_p")
-        val ver = cand.join(broadcast(x), "doc_id").join(y, "partner")
+        // ONE shingle-set frame for every id verification touches (delta
+        // docs + their candidate partners): through round 8 the doc_id and
+        // partner sides each re-scanned `documents` and re-ran the shingle
+        // kernel behind their own distinct exchange (VERDICT r8 #4 — d15
+        // was the widest cost-shape row). The union'd id set is computed
+        // once, checkpointed, and broadcast to BOTH sides of the verify
+        // join; it is candidate-bounded (delta-small by construction), the
+        // same posture the band join already relies on.
+        val ids = cand.select(col("doc_id").as("vid"))
+          .unionByName(cand.select(col("partner").as("vid")))
+          .distinct()
+        val sets = ResultMemo.checkpointed(
+          docs.join(ids, docs("doc_id") === ids("vid"), "left_semi")
+            .select(col("doc_id").as("vid"),
+              HashKernels.shinglesCol(s, col("text")).as("sh"))
+            .filter(col("sh").isNotNull))
+        val ver = cand
+          .join(broadcast(sets.select(col("vid").as("doc_id"),
+            col("sh").as("sh_n"))), "doc_id")
+          .join(broadcast(sets.select(col("vid").as("partner"),
+            col("sh").as("sh_p"))), "partner")
           .select(col("doc_id"), col("partner"), col("kind"),
             round(size(array_intersect(col("sh_n"), col("sh_p"))) * 1.0 /
               size(array_union(col("sh_n"), col("sh_p"))), 6).as("jaccard"))

@@ -104,23 +104,29 @@ object V2Pipeline {
         col("sec._3").as("title"), col("sec._4").as("description"))
 
     // A4: merge digests of one group section-by-section (bibkey-ordered).
-    // Checkpointed: the J1 conformance check below is an action, and the
-    // caller reuses the result — without this the merge would compute twice.
+    // Checkpointed LAZILY: the J1 conformance check below is the action
+    // that materializes it (one job, not a separate eager-checkpoint job
+    // followed by the check — p02's job count is stage composition, not
+    // data volume; VERDICT r8 #3), and the caller then reuses the cached
+    // blocks — without the checkpoint the merge would compute twice.
     val merged = sections
       .groupBy("survey_id", "group_id", "path", "depth", "title")
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(bibkey, description))), p -> p.description)"),
         "\n---\n").as("description"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
-    // J1 contract: every group's digest tree mirrors the skeleton
+    // J1 contract: every group's digest tree mirrors the skeleton. The
+    // skeleton side broadcasts (it is one parsed outline per survey) and
+    // the existence check needs no distinct — both only added exchanges,
+    // i.e. AQE stage-jobs, to a count whose answer they cannot change.
     val skeletonSections = skeletonRows(skeleton)
-    val bad = merged.select(col("survey_id"), col("path")).distinct()
-      .join(skeletonSections.select("survey_id", "path"),
+    val bad = merged.select(col("survey_id"), col("path"))
+      .join(broadcast(skeletonSections.select("survey_id", "path")),
         Seq("survey_id", "path"), "left_anti").count()
     if (bad > 0)
       throw new Trees.StructureNotCorrespondingException(
-        s"$bad digest sections have no skeleton counterpart")
+        s"$bad digest section rows have no skeleton counterpart")
     merged
   }
 
@@ -313,8 +319,11 @@ object V2Pipeline {
       papers: DataFrame,
       client: InferenceClient): DataFrame = {
     // referenced by three subplans below (leaves, internals, parents) —
-    // materialize once instead of re-running the parse+explode per branch
-    val sections = skeletonRows(skeleton).localCheckpoint()
+    // checkpoint so the parse+explode doesn't re-run per branch; lazy, so
+    // the first consuming action (assembleBottomUp's depth probe, whose
+    // agg touches every partition) materializes it instead of a dedicated
+    // job doing so
+    val sections = skeletonRows(skeleton).localCheckpoint(false)
 
     // leaves = sections that are nobody's parent
     val parents = sections.filter(size(col("path")) > 1)
@@ -447,8 +456,16 @@ object V2Pipeline {
       surveys: DataFrame,
       client: InferenceClient = new MockInference,
       cfg: Config = Config()): DataFrame = {
-    val papers   = group(encode(surveys), cfg).localCheckpoint()
-    var skeleton = skeletonInit(papers, client).localCheckpoint()
+    // Stage boundaries checkpoint LAZILY (VERDICT r8 #3): each frame still
+    // materializes exactly once and every downstream stage reads its cached
+    // blocks, but materialization folds into the first consuming action's
+    // job (digest's J1 check picks up papers + skeleton + merged in one
+    // chain) instead of each boundary spawning its own eager job — p02's
+    // cost is per-stage job scheduling, not data volume, so the fusion is
+    // the lever that scales. The stage functions stay independently
+    // callable; only the composition's materialization points changed.
+    val papers   = group(encode(surveys), cfg).localCheckpoint(false)
+    var skeleton = skeletonInit(papers, client).localCheckpoint(false)
 
     var block = 0
     // digest() already returns a checkpointed frame (its J1 conformance
@@ -456,7 +473,8 @@ object V2Pipeline {
     // the whole digest set a second time per block
     var digests = digest(papers, skeleton, client)
     while (block < cfg.blockCount) { // D5 cycle, driver-bounded
-      val refined = refineSkeleton(skeleton, digests, client, cfg).localCheckpoint()
+      val refined = refineSkeleton(skeleton, digests, client, cfg)
+        .localCheckpoint(false) // materialized by changed.count() below
       // Stage fusion (VERDICT r03 #4): digests are outline-SHAPED — their
       // section rows key by the skeleton's heading structure (exactly what
       // the J1 conformance check pins). A refinement that only edits prose
@@ -465,8 +483,8 @@ object V2Pipeline {
       // granularity: one changed survey re-digests alone, not the batch.
       val changed = refined
         .select(col("survey_id"), structuralHash(col("skeleton_md")).as("nh"))
-        .join(skeleton
-          .select(col("survey_id"), structuralHash(col("skeleton_md")).as("oh")),
+        .join(broadcast(skeleton
+          .select(col("survey_id"), structuralHash(col("skeleton_md")).as("oh"))),
           "survey_id")
         .filter(col("nh") =!= col("oh"))
         .select("survey_id")
@@ -477,7 +495,7 @@ object V2Pipeline {
         digests = digest(papersChanged, skeleton, client)
           .unionByName(
             digests.join(broadcast(changed), Seq("survey_id"), "left_anti"))
-          .localCheckpoint()
+          .localCheckpoint(false) // materialized by the next consumer
       }
       block += 1
     }

@@ -32,8 +32,12 @@ object ProfileQuery {
             val desc = Option(j.properties)
               .flatMap(p => Option(p.getProperty("spark.job.description")))
               .getOrElse("")
+            // the final stage's name carries the action's callsite — the
+            // job-count attribution the fusion work needs
+            val site = j.stageInfos.sortBy(_.stageId).lastOption
+              .map(_.name).getOrElse("")
             println(s"[prof]   job ${j.jobId} start: " +
-              s"${j.stageInfos.size} stages | ${desc.take(110)}")
+              s"${j.stageInfos.size} stages | ${desc.take(60)} | $site")
           }
         }
         override def onJobEnd(
