@@ -113,8 +113,9 @@ object Bench {
       warmed("vocab index")(operators.TextAnalysis.warmVocabIndex(spark, sfDir))
       warmed("bpe merges")(operators.Tokenize.trainMerges(spark, sfDir))
       warmed("bigram lm")(operators.TextAnalysis.lmModelBroadcast(spark, sfDir))
-      // the PQ index pair (corpus codes + query ADC tables) — the FAISS
-      // artifact s07/s09 read; same class as the signature frame
+      // the PQ index pairs (corpus codes + query ADC tables), sampled AND
+      // trained codebooks — the FAISS artifacts s07/s09/s10 read; same
+      // class as the signature frame
       warmed("pq index")(operators.Similarity.warmPqIndex(spark, sfDir))
     }
     warmIndexes()
