@@ -80,44 +80,11 @@ object Bench {
     // Untimed build of every PERSISTED ARTIFACT a deployment maintains next
     // to the corpus rather than rebuilding per query — re-run before every
     // timed pass (the pass boundary clears the session memos), so each pass
-    // times query OPERATORS against warm indexes and never the bootstrap:
-    // - bucketed-lake layout (q35 times the Exchange-free join);
-    // - media payload synthesis (the media lake already exists at scale;
-    //   m02 times the DECODE operator);
-    // - the per-modality fingerprint indexes (maintained at ingest — m06s
-    //   is the image ingest path; m03/m04/m05 time the banding DEDUP);
-    // - the MinHash signature frame (d03/d06/d08/p03) and vocabulary
-    //   (q44/t08/t09) corpus indexes (r5: p03 carried the sigFrame build,
-    //   q44 the vocab build, when these weren't warmed);
-    // - the trained BPE rank table (t11 emits it, t12 consumes it);
-    // - the bigram LM (t14s's broadcast model). The per-doc LM SCORE frame
-    //   is deliberately NOT warmed (ADVICE r8): t14 times the raw scoring
-    //   path and p04's gate pays the memoized frame's build at first use —
-    //   pre-building it here made t14's published time a checkpoint read
-    //   while its DuckDB oracle scored inline.
-    // A failed artifact build must not kill the bench, but it must be LOUD:
-    // its consumers now carry the bootstrap inside their timed runs, and a
-    // silent miss here is indistinguishable from a slow engine (the r5
-    // regression class this warm-up exists to prevent).
-    def warmed(what: String)(f: => Any): Unit =
-      try { f; () } catch { case e: Throwable =>
-        System.err.println(s"[bench] index warm-up '$what' failed: ${e.getMessage}")
-      }
-    def warmIndexes(): Unit = {
-      warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
-      warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
-      warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())
-      warmed("afp index")(operators.Multimodal.afpFrame(spark, sfDir).count())
-      warmed("vhash index")(operators.Multimodal.vhashFrame(spark, sfDir).count())
-      warmed("signature index")(operators.Dedup.warmSignatureIndex(spark, sfDir))
-      warmed("vocab index")(operators.TextAnalysis.warmVocabIndex(spark, sfDir))
-      warmed("bpe merges")(operators.Tokenize.trainMerges(spark, sfDir))
-      warmed("bigram lm")(operators.TextAnalysis.lmModelBroadcast(spark, sfDir))
-      // the PQ index pairs (corpus codes + query ADC tables), sampled AND
-      // trained codebooks — the FAISS artifacts s07/s09/s10 read; same
-      // class as the signature frame
-      warmed("pq index")(operators.Similarity.warmPqIndex(spark, sfDir))
-    }
+    // times query OPERATORS against warm indexes and never the bootstrap.
+    // The artifact list (and the rationale for what is deliberately NOT
+    // warmed) lives in graft.Warm, shared with ScaleBench so the two
+    // benches can never drift on what counts as a warm index.
+    def warmIndexes(): Unit = Warm.indexes(spark, sfDir, tag = "bench")
     warmIndexes()
 
     // Key the stdout map by each query's unique id prefix ("d01", "q15b",

@@ -48,22 +48,9 @@ object ScaleBench {
       }
     }
 
-    def warmed(what: String)(f: => Any): Unit =
-      try { f; () } catch { case e: Throwable =>
-        System.err.println(s"[scale] index warm-up '$what' failed: ${e.getMessage}")
-      }
-    def warmIndexes(): Unit = {
-      warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
-      warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
-      warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())
-      warmed("afp index")(operators.Multimodal.afpFrame(spark, sfDir).count())
-      warmed("vhash index")(operators.Multimodal.vhashFrame(spark, sfDir).count())
-      warmed("signature index")(operators.Dedup.warmSignatureIndex(spark, sfDir))
-      warmed("vocab index")(operators.TextAnalysis.warmVocabIndex(spark, sfDir))
-      warmed("bpe merges")(operators.Tokenize.trainMerges(spark, sfDir))
-      warmed("bigram lm")(operators.TextAnalysis.lmModelBroadcast(spark, sfDir))
-      warmed("pq index")(operators.Similarity.warmPqIndex(spark, sfDir))
-    }
+    // the shared persisted-artifact list (graft.Warm) — kept identical to
+    // the bench's so the scale trend times the same warm conditions
+    def warmIndexes(): Unit = Warm.indexes(spark, sfDir, tag = "scale")
 
     val qs = SparkEntry.queries
     val best = scala.collection.mutable.Map.empty[String, Double]

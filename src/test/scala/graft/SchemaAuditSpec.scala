@@ -103,4 +103,34 @@ class SchemaAuditSpec extends SparkTestBase {
       org.apache.spark.sql.types.FloatType)
     assert(streamed.exceptAll(b).isEmpty && b.exceptAll(streamed).isEmpty)
   }
+
+  test("SHARDED double-encoded embeddings lake streams through the same probe") {
+    // ADVICE r8: the element-width probe used to read only the canonical
+    // single-file path, so a sharded layout (embeddings_0.parquet, ...)
+    // that the stream's glob accepts skipped the probe, fell back to the
+    // pinned float schema, and failed on every micro-batch — the exact
+    // regen class the probe exists to absorb. Pin the fixed path: two
+    // double-encoded shards, no embeddings.parquet at all.
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("emb-shard").toString
+    val doubled = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    Seq(0, 1).foreach { i =>
+      doubled.filter(col("vec_id") % 2 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/_stage$i")
+      val part = new java.io.File(s"$tmp/_stage$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/embeddings_$i.parquet"))
+    }
+    val streamed = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.embeddingsStream(spark, tmp, maxFilesPerTrigger = 16)
+        .selectExpr("vec_id", "embedding[0] e"),
+      "emb_shard_stream", mode = "append")
+    assert(streamed.schema("e").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    val b = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding[0] as float) e")
+    assert(streamed.exceptAll(b).isEmpty && b.exceptAll(streamed).isEmpty)
+  }
 }

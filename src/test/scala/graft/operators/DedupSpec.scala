@@ -57,6 +57,22 @@ class DedupSpec extends SparkTestBase {
       "every chain node must label to the minimum")
   }
 
+  test("an exhausted star loop throws instead of emitting unreliable labels") {
+    import spark.implicits._
+    // ADVICE r8: exiting on maxIters without the checksum fixpoint used to
+    // fall through to the roots extraction, which assumes star-shaped
+    // edges — duplicate/wrong labels, indistinguishable from clean
+    // convergence. maxIters = 0 on any non-empty graph forces that exit;
+    // both loop implementations must now fail LOUDLY.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsWithStats(pairs, maxIters = 0)._1.collect()
+    }
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsLoopDF(pairs, maxIters = 0)._1.collect()
+    }
+  }
+
   private val dir = "/root/testdata/sf0.001"
 
   test("d11: the bloom prefilter changes cost, never the answer") {
