@@ -37,4 +37,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 20g headroom keeps full GCs out of the hot loop with 32 executor
   // threads sharing one JVM (8g measured ~11% slower cold).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
+) ++
+  // tmpfs redirect for the forked JVM's temp dir: streaming queries
+  // without an explicit checkpointLocation put their per-trigger
+  // offset/commit logs and state snapshots under java.io.tmpdir, and on
+  // this box /tmp is disk-backed ext4, so that fsync traffic is part of
+  // the per-trigger floor. A/B (ConfExperiment, 21 streaming queries,
+  // A-B-A-B warm reps): disk 19.5-20.6 s vs tmpfs 18.5-19.8 s, a
+  // consistent ~5%. Cluster deployments pin streaming checkpoints to
+  // reliable storage explicitly — this only tunes the local-mode temp
+  // path. SPARK_GRAFT_TMPDIR overrides; empty value disables.
+  {
+    val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp" else "")
+    if (d.nonEmpty) { IO.createDirectory(file(d)); Seq(s"-Djava.io.tmpdir=$d") }
+    else Seq.empty
+  }
