@@ -136,15 +136,23 @@ object Relational {
     QueryDef(
       "q06_argmax_reduce",
       covers = "A3 W2",
+      // Tie-break is TOTAL: argmax by (price, then SMALLEST orderkey) via a
+      // struct max with a negated key in both engines. A bare
+      // max_by/arg_max is engine-nondeterministic on price ties — sf0.1
+      // happens to have none, but the 10x scale corpus (and any real
+      // warehouse) does, and the sf1 oracle run caught exactly that.
       oracle = Some("""
-        SELECT o_custkey, arg_max(o_orderkey, o_totalprice) AS best_order,
+        SELECT o_custkey,
+               -(max({'p': o_totalprice, 'nk': -o_orderkey})).nk AS best_order,
                max(o_totalprice) AS best_price
         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
       build = (s, d) =>
         Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(
-            max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+            (-max(struct(col("o_totalprice").as("p"),
+              (-col("o_orderkey")).as("nk"))).getField("nk"))
+              .as("best_order"),
             max(col("o_totalprice")).as("best_price"))
           .orderBy("o_custkey")),
 
@@ -518,15 +526,19 @@ object Relational {
       covers = "W2 Q17",
       oracle = Some("""
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-               arg_max(o_orderkey, o_totalprice) AS best_order,
+               -(max({'p': o_totalprice, 'nk': -o_orderkey})).nk AS best_order,
                max(o_totalprice) AS best_price
         FROM orders GROUP BY 1 ORDER BY 1"""),
+      // total tie-break, same as q06 (the sf1 oracle run caught the bare
+      // max_by picking a different max-price order than DuckDB on ties)
       build = (s, d) =>
         Tables.orders(s, d)
           .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
             .as("month"))
           .agg(
-            max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+            (-max(struct(col("o_totalprice").as("p"),
+              (-col("o_orderkey")).as("nk"))).getField("nk"))
+              .as("best_order"),
             max(col("o_totalprice")).as("best_price"))
           .orderBy("month")),
 
