@@ -848,15 +848,35 @@ object Dedup {
           graft.functions.ArrayMath.dot(s, x, y)
         val e = Tables.embeddings(s, d)
           .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        // The block-quadratic pair work must SPREAD: `label` alone has ~10
+        // distinct values, so a plain equi-join enumerates every block's
+        // pairs on <=10 tasks — and AQE coalesces by INPUT bytes, blind to
+        // the quadratic pair OUTPUT (measured: 2 tasks owning a 100x-corpus
+        // run). Salting the join key (label, salt) scatters each block's
+        // pair work across `salts` tasks: the a-side salts deterministically
+        // on id_a, the b-side replicates across all salts (recall-complete,
+        // the q37 saltedJoin pattern), and the salt never reaches the output.
+        val salts = 32
         val a = e.select(col("vec_id").as("id_a"), col("label"),
           col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+          .withColumn("graft_salt",
+            pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
         val b = e.select(col("vec_id").as("id_b"), col("label"),
           col("embedding").as("v_b"), col("nrm").as("nrm_b"))
-        a.join(b, Seq("label"))
+          .withColumn("graft_salt",
+            explode(sequence(lit(0), lit(salts - 1))))
+        a.join(b, Seq("label", "graft_salt"))
           .filter(col("id_a") < col("id_b"))
+          // Spark's round() on a double allocates a java.math.BigDecimal per
+          // call — keep it off the O(block^2) path: a conservative raw-cosine
+          // prefilter first (round-half-up: round(x,6) >= 0.35 needs
+          // x >= 0.3499995; the margin absorbs the FP boundary), then the
+          // exact oracle-matching round only on surviving candidates.
+          .withColumn("raw_cos",
+            dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+          .filter(col("raw_cos") >= 0.34999949)
           .select(col("id_a"), col("id_b"),
-            round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
-              .as("cos"))
+            round(col("raw_cos"), 6).as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("id_a", "id_b")
       }),
