@@ -852,21 +852,38 @@ object Dedup {
         // distinct values, so a plain equi-join enumerates every block's
         // pairs on <=10 tasks — and AQE coalesces by INPUT bytes, blind to
         // the quadratic pair OUTPUT (measured: 2 tasks owning a 100x-corpus
-        // run). Salting the join key (label, salt) scatters each block's
-        // pair work across `salts` tasks: the a-side salts deterministically
-        // on id_a, the b-side replicates across all salts (recall-complete,
-        // the q37 saltedJoin pattern), and the salt never reaches the output.
-        val salts = 32
-        val a = e.select(col("vec_id").as("id_a"), col("label"),
-          col("embedding").as("v_a"), col("nrm").as("nrm_a"))
-          .withColumn("graft_salt",
-            pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
-        val b = e.select(col("vec_id").as("id_b"), col("label"),
-          col("embedding").as("v_b"), col("nrm").as("nrm_b"))
-          .withColumn("graft_salt",
-            explode(sequence(lit(0), lit(salts - 1))))
-        a.join(b, Seq("label", "graft_salt"))
-          .filter(col("id_a") < col("id_b"))
+        // run). Triangle bucketing (the classic all-pairs/theta-join
+        // partitioning, cf. Suri & Vassilvitskii's "curse of the last
+        // reducer") distributes each block's pairs across B*(B+1)/2 tasks
+        // at ~(B+1)x row replication — square-root of the task count,
+        // where one-side salting pays replication EQUAL to it — and it
+        // does not lean on label cardinality: ONE giant block still fans
+        // out. Row i lands in bucket h(i)%B; task (t1<=t2) enumerates
+        // a-side rows of bucket t1 against b-side rows of bucket t2, so a
+        // cross-bucket pair meets in exactly one task and a same-bucket
+        // pair (t1==t2, both orders present) keeps the id_a<id_b half.
+        val buckets = 8
+        val bkt = pmod(xxhash64(col("vec_id")), lit(buckets)).cast("int")
+        val a = e.withColumn("t1", bkt)
+          .withColumn("t2", explode(sequence(col("t1"), lit(buckets - 1))))
+          .select(col("vec_id").as("id_a"), col("label"),
+            col("embedding").as("v_a"), col("nrm").as("nrm_a"),
+            col("t1"), col("t2"))
+          // pin the fan-out: an explicit numPartitions repartition on the
+          // join key is one AQE will NOT re-coalesce (the input is a few
+          // MB; the join output is the quadratic part AQE cannot see)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("label"), col("t1"), col("t2"))
+        val b = e.withColumn("t2", bkt)
+          .withColumn("t1", explode(sequence(lit(0), col("t2"))))
+          .select(col("vec_id").as("id_b"), col("label"),
+            col("embedding").as("v_b"), col("nrm").as("nrm_b"),
+            col("t1"), col("t2"))
+        a.join(b, Seq("label", "t1", "t2"))
+          // same-bucket tasks see both orders of each pair — keep one;
+          // cross-bucket tasks see each unordered pair exactly once, in
+          // whichever orientation the buckets assigned (normalized below)
+          .filter(col("t1") =!= col("t2") || col("id_a") < col("id_b"))
           // Spark's round() on a double allocates a java.math.BigDecimal per
           // call — keep it off the O(block^2) path: a conservative raw-cosine
           // prefilter first (round-half-up: round(x,6) >= 0.35 needs
@@ -875,7 +892,9 @@ object Dedup {
           .withColumn("raw_cos",
             dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
           .filter(col("raw_cos") >= 0.34999949)
-          .select(col("id_a"), col("id_b"),
+          .select(
+            least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
             round(col("raw_cos"), 6).as("cos"))
           .filter(col("cos") >= 0.35)
           .orderBy("id_a", "id_b")
