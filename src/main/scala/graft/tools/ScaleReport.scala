@@ -41,7 +41,13 @@ object ScaleReport {
     spark.sparkContext.addSparkListener(listener)
 
     // per-sf table warm-up so footer reads don't pollute the first query
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=a,b,c re-measures a subset after a plan change
+    // (output goes to scale_report_partial.md so the full table survives)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      only.fold(all)(k => all.filter(k))
+    }
     val mb = scala.collection.mutable.Map.empty[(String, String), Double]
     sfDirs.foreach { d =>
       Tables.names.foreach { t =>
@@ -102,7 +108,9 @@ object ScaleReport {
         s" | $verdict |\n")
     }
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/scale_report.md"), sb.toString)
+    val out = if (only.isDefined) "target/scale_report_partial.md"
+              else "target/scale_report.md"
+    Files.writeString(Paths.get(out), sb.toString)
     println(sb.toString)
     spark.stop()
   }
