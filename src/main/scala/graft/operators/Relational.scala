@@ -29,6 +29,15 @@ object Relational {
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Money totals whose magnitude grows with the corpus leave the engine as
+    * exact decimal STRINGS, not doubles: DuckDB's DECIMAL→DOUBLE cast
+    * double-rounds (int128→double, then ÷10^scale in float), so once
+    * sum×10^scale exceeds 2^53 the two engines can land one ULP apart —
+    * q13/q37 diverged exactly this way at the 100× corpus while their
+    * decimal sums matched digit-for-digit. Strings stay exact at any SF. */
+  private def moneyStr(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("string")
+
   private val fmtTs = "yyyy-MM-dd HH:mm:ss"
 
   def defs: Seq[QueryDef] = Seq(
@@ -380,10 +389,10 @@ object Relational {
       covers = "A7 A8 A10 Q13",
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                        CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS sum_disc_price,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
                count(*) AS n
         FROM lineitem
@@ -395,11 +404,11 @@ object Relational {
           .filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            moneySum(col("l_quantity")).as("sum_qty"),
-            moneySum(col("l_extendedprice")).as("sum_base_price"),
+            moneyStr(col("l_quantity")).as("sum_qty"),
+            moneyStr(col("l_extendedprice")).as("sum_base_price"),
             sum(col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1) - col("l_discount")).cast("decimal(18,4)"))
-              .cast("double").as("sum_disc_price"),
+              .cast("string").as("sum_disc_price"),
             (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus")),

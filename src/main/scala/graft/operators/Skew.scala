@@ -47,7 +47,11 @@ object Skew {
                                 ELSE user_id END AS user_id, value
                     FROM events),
         dim AS (SELECT DISTINCT user_id, user_id % 5 AS seg FROM ev)
-        SELECT seg, count(*) AS n, round(sum(value), 4) AS total
+        -- total is an exact decimal STRING: value is 2dp money, and a float
+        -- sum across 10M rows (or a decimal->double cast past 2^53/scale)
+        -- diverges between engines at the 100x corpus
+        SELECT seg, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
         FROM ev JOIN dim USING (user_id)
         GROUP BY seg ORDER BY seg"""),
       build = (s, d) => {
@@ -60,7 +64,8 @@ object Skew {
           .withColumn("seg", pmod(col("user_id"), lit(5L)))
         saltedJoin(ev, dim, "user_id", salt = 8)
           .groupBy("seg")
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("string").as("total"))
           .orderBy("seg")
       })
   )
