@@ -652,7 +652,10 @@ object Streams {
     // bounded gates need, so set it for the query and restore after.
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // SPARK_GRAFT_STATE_PARTS overrides for A/B experiments (ConfExperiment)
+    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS")
+      .map(_.toInt).getOrElse(statePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val q = agg.writeStream
         .outputMode(mode)
