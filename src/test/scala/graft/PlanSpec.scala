@@ -56,6 +56,21 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
+  test("q13/q37: corpus-growing money totals leave the engine as strings") {
+    // The sf10 gate caught both queries one ULP from DuckDB: the decimal
+    // sums matched digit-for-digit, but DuckDB's DECIMAL->DOUBLE cast
+    // double-rounds (int128->double, then /10^scale in float), which
+    // diverges from Spark's correctly-rounded cast once sum*10^scale
+    // exceeds 2^53. Unbounded-magnitude totals must stay exact strings.
+    import org.apache.spark.sql.types.StringType
+    val q13 = SparkEntry.queries("q13_pricing_summary")(spark, dir).schema
+    Seq("sum_qty", "sum_base_price", "sum_disc_price").foreach { c =>
+      assert(q13(c).dataType == StringType, s"$c must be an exact string")
+    }
+    val q37 = SparkEntry.queries("q37_salted_skew_join")(spark, dir).schema
+    assert(q37("total").dataType == StringType, "q37 total must be a string")
+  }
+
   test("q11: range join keeps the user_id equi-key (no cartesian)") {
     val p = plan("q11_range_join")
     assert(!p.contains("CartesianProduct"), p.take(2000))
