@@ -26,6 +26,10 @@ object Relational {
 
   /** Exact, order-independent money sum: SUM over DECIMAL(18,2) cents,
     * surfaced as DOUBLE (exact for |cents| < 2^53 — far above any test SF). */
+  /** Exact decimal sum surfaced as a double: safe ONLY where the emitted
+    * magnitude stays bounded as the corpus grows (q13's avg_qty divides it
+    * by count, so a one-ULP cast wobble is 1e-12 of the ratio — invisible
+    * at 6 dp). Totals that grow with the data use moneyStr instead. */
   private def moneySum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
