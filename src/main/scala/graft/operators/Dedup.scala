@@ -366,6 +366,16 @@ object Dedup {
       labels = stepped.select("id", "label")
       iters += 1
     }
+    // same non-convergence posture as the star loops (ADVICE r9): exiting
+    // on maxIters with partially-propagated labels is indistinguishable
+    // from clean convergence to the caller — make it loud. Min-label needs
+    // O(diameter) rounds, so tripping this means the input graph (or the
+    // budget) is wrong for this variant, not a transient.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsMinLabel: propagation exhausted maxIters=$maxIters " +
+          "before reaching a fixpoint — labels would be partially " +
+          "propagated; raise maxIters or use the star-loop variant")
     labels
   }
 

@@ -179,15 +179,19 @@ object Streams {
       // (embeddings*.parquet) — a sharded lake (embeddings_0.parquet, ...)
       // must hit the probe, not just the canonical single-file layout,
       // or a double-encoded sharded regen would fail on every micro-batch
-      // (the exact failure this probe exists to absorb). An unreadable or
+      // (the exact failure this probe exists to absorb). Listing goes
+      // through Hadoop's FileSystem (ADVICE r9): a java.io.File listing
+      // silently misses non-local sfDirs (hdfs://, s3a://) and relative
+      // paths the JVM cwd resolves differently than Spark — globStatus
+      // resolves exactly like the stream's own source. An unreadable or
       // empty match falls back to the pinned float schema.
       try {
-        val files = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
-          .filter(f => f.getName.startsWith("embeddings") &&
-            f.getName.endsWith(".parquet")) // file OR Spark-written dir
-          .sortBy(_.getName)
-        files.headOption.map { f =>
-          spark.read.parquet(f.getPath).schema("embedding").dataType match {
+        val glob = new org.apache.hadoop.fs.Path(sfDir, "embeddings*.parquet")
+        val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+        val files = Option(fs.globStatus(glob)).toSeq.flatten
+          .map(_.getPath.toString).sorted // file OR Spark-written dir
+        files.headOption.map { p =>
+          spark.read.parquet(p).schema("embedding").dataType match {
             case ArrayType(et, _) => et
             case _ => FloatType
           }

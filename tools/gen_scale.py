@@ -59,11 +59,19 @@ def offset_col(t, col, off):
     return t.set_column(i, t.schema.field(col), c)
 
 
-def scale_keyed(src, out, name, key_offsets, factor):
+def scale_keyed(src, out, name, key_offsets, factor, fixed_offs=None):
+    """key_offsets: columns to offset per copy. Offsets default to
+    max(col)+1 computed on THIS table; fixed_offs overrides per column —
+    used to keep cross-table key spaces aligned (lineitem's l_orderkey must
+    shift by ORDERS' offset, or any orderkey without lineitems would
+    desynchronize the two and silently break referential integrity for
+    every copy k>0)."""
     t = read(src, name)
     # strip the pandas metadata so the writer schema is purely structural
     t = t.replace_schema_metadata(None)
-    offs = {c: int(pc.max(t.column(c)).as_py()) + 1 for c in key_offsets}
+    offs = {c: (fixed_offs or {}).get(
+                c, int(pc.max(t.column(c)).as_py()) + 1)
+            for c in key_offsets}
     with writer_for(out, name, t.schema) as w:
         for k in range(factor):
             tk = t
@@ -136,8 +144,15 @@ def main(src, out, factor):
     for name in COPY_VERBATIM:
         shutil.copyfile(f"{src}/{name}.parquet", f"{out}/{name}.parquet")
         print(f"  {name}: copied verbatim (dimension)")
-    scale_keyed(src, out, "orders", ["o_orderkey"], factor)
-    scale_keyed(src, out, "lineitem", ["l_orderkey"], factor)
+    # one shared orderkey offset for both tables (ADVICE r9): deriving
+    # lineitem's from max(l_orderkey) diverges from orders' whenever the
+    # highest orderkeys lack lineitems, breaking o↔l joins in every copy
+    order_off = int(pc.max(read(src, "orders").column("o_orderkey")
+                           ).as_py()) + 1
+    scale_keyed(src, out, "orders", ["o_orderkey"], factor,
+                fixed_offs={"o_orderkey": order_off})
+    scale_keyed(src, out, "lineitem", ["l_orderkey"], factor,
+                fixed_offs={"l_orderkey": order_off})
     scale_keyed(src, out, "events", ["event_id", "user_id"], factor)
     scale_documents(src, out, factor)
     scale_embeddings(src, out, factor)
