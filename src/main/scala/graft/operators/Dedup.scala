@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — the core of a
@@ -377,6 +378,79 @@ object Dedup {
           "before reaching a fixpoint — labels would be partially " +
           "propagated; raise maxIters or use the star-loop variant")
     labels
+  }
+
+  /** d16's expected sub-block size: per-label centroid count adapts as
+    * k = ceil(block/CAP), so E[cell size] = CAP at any corpus size. */
+  private[graft] val SemCap = 64
+
+  /** d16's (label, cell) assignment: every embedding mapped to its nearest
+    * per-label sampled centroid (the block's k = ceil(bn/64) smallest-md5
+    * vectors — deterministic under any partition layout, SQL-reproducible).
+    * Returns (vec_id, label, cell, embedding, nrm).
+    *
+    * Selection is the x08 salted two-level top-k so no reducer ranks a full
+    * label block; assignment broadcasts each label's centroid array (bn/64
+    * structs) and argmins in ONE codegen'd transform pass over the array —
+    * ties on exact distance break by cell, mirroring the oracle's
+    * row_number ORDER BY (dist, cell). */
+  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame = {
+    def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
+    val e = Tables.embeddings(s, d)
+    val k = broadcast(e.groupBy("label")
+      .agg(count(lit(1)).as("bn"))
+      .select(col("label"), expr("(bn + 63) div 64").as("k")))
+    val h = md5(col("vec_id").cast("string"))
+    // two-level smallest-k-by-hash per label: each (label, salt) ranks its
+    // own slice, the global rank sees ≤ salts×k pre-pruned rows
+    val pre = e.join(k, "label")
+      .withColumn("h", h)
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("label"), pmod(col("vec_id"), lit(8)))
+          .orderBy(col("h"), col("vec_id"))))
+      .filter(col("rk1") <= col("k"))
+    val cents = pre
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("label").orderBy(col("h"), col("vec_id"))) - 1)
+      .filter(col("crn") < col("k"))
+      .select(col("label"),
+        struct(col("crn").as("cell"), col("embedding").as("cv"),
+          dot(col("embedding"), col("embedding")).as("cc")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("cell",
+        array_min(transform(col("cents"), c =>
+          struct(
+            (c.getField("cc") -
+              lit(2.0) * dot(col("embedding"), c.getField("cv"))).as("dist"),
+            c.getField("cell").as("cell")))).getField("cell"))
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  /** d16's candidate pairs: exact cosine ≥ 0.35 within each (label, cell)
+    * sub-block. The join key has n/64 distinct values, so unlike d05 the
+    * pair space distributes by key cardinality; the repartition pin keeps
+    * AQE (which coalesces by INPUT bytes) from folding the quadratic
+    * OUTPUT onto few tasks. */
+  private[graft] def cappedCosinePairs(s: SparkSession, d: String): DataFrame = {
+    def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
+    val cf = cellAssignments(s, d)
+    val a = cf.select(col("vec_id").as("id_a"), col("label"), col("cell"),
+        col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("label"), col("cell"))
+    val b = cf.select(col("vec_id").as("id_b"), col("label"), col("cell"),
+      col("embedding").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label", "cell"))
+      .filter(col("id_a") < col("id_b"))
+      // raw prefilter before the BigDecimal-allocating round(), as in d05
+      .withColumn("raw_cos",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("raw_cos") >= 0.34999949)
+      .select(col("id_a"), col("id_b"), round(col("raw_cos"), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
   }
 
   /** 4×2 banding of a signature frame: (id, b, bkey) with md5 band keys —
@@ -1085,6 +1159,93 @@ object Dedup {
         Tables.embeddings(s, d)
           .join(comp, Seq("vec_id"), "left")
           .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("component"),
+            when(col("comp").isNull || col("comp") === col("vec_id"), 1)
+              .otherwise(0).as("keep"))
+          .orderBy("vec_id")
+      }),
+
+    // ------------------------------------- capped semantic dedup (SemDeDup)
+    // The PRODUCTION form of d13 (VERDICT r9 #1): d13's declared semantics
+    // are exact all-pairs cosine WITHIN a label block, which is quadratic in
+    // block size — and blocks grow with the corpus (2×10⁹ pairs at a
+    // 100×-scaled run even after triangle bucketing spreads them). This is
+    // the SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540 — the
+    // dedup north-star the reference's atomic-facts pass approximates,
+    // LLMxMapReduce_V2/src/eval/atomic_facts.py:60-143): re-cluster every
+    // label block through a deterministic sampled coarse quantizer whose k
+    // ADAPTS to block size (k = ceil(block/64) centroids = the block's 64
+    // smallest-md5 vectors, s04/x08's FAISS-style sampled-quantizer trick),
+    // assign each vector to its nearest centroid, and enumerate cosine
+    // pairs only within a (label, cell) sub-block. Expected sub-block size
+    // is the CAP (64) at ANY corpus size, so pair volume grows LINEARLY
+    // with the corpus (n·CAP/2) instead of quadratically — the price is
+    // recall at cell boundaries, which is exactly SemDeDup's declared
+    // trade (d13 keeps the exact form as the oracle pin beside it).
+    //
+    // Scale shape: centroid selection is a salted two-level top-k per label
+    // (x08's pattern — no reducer ranks a full block) over n/64 surviving
+    // rows; assignment joins each vector against ITS label's broadcast
+    // centroid array and argmins in one codegen pass (at extreme scale the
+    // per-label array itself would shard IVF-style — documented limit, the
+    // array is n/64 × 64 floats); the pair join's (label, cell) key has
+    // n/64 distinct values, so the quadratic work distributes by KEY
+    // CARDINALITY and needs no triangle bucketing; components reuse the
+    // d09 star loop. The repartition pin mirrors d05: AQE coalesces by
+    // input bytes and cannot see pair-join output.
+    QueryDef(
+      "d16_semantic_dedup_capped",
+      covers = "X5 north-star (SemDeDup capped blocks)",
+      oracle = Some("""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, label, embedding::FLOAT[]::DOUBLE[] AS v
+              FROM embeddings),
+        sz AS (SELECT label, count(*) AS bn FROM e GROUP BY label),
+        rk AS (SELECT e.vec_id, e.label, e.v,
+                      row_number() OVER (PARTITION BY e.label
+                        ORDER BY md5(e.vec_id::VARCHAR), e.vec_id) - 1 AS crn
+               FROM e),
+        cent AS (SELECT rk.label, rk.crn AS cell, rk.v AS cv,
+                        list_dot_product(rk.v, rk.v) AS cc
+                 FROM rk JOIN sz USING (label)
+                 WHERE rk.crn < (sz.bn + 63) // 64),
+        asg AS (SELECT e.vec_id, e.label, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY c.cc - 2 * list_dot_product(e.v, c.cv),
+                                  c.cell) AS arn
+                FROM e JOIN cent c USING (label)),
+        cf AS (SELECT vec_id, label, cell, v FROM asg WHERE arn = 1),
+        pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM cf a JOIN cf b ON a.label = b.label AND a.cell = b.cell
+                               AND a.vec_id < b.vec_id)
+          WHERE cos >= 0.35),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (SELECT src, src AS dst FROM edges
+                  UNION
+                  SELECT r.src, x.dst FROM reach r
+                  JOIN edges x ON x.src = r.dst),
+        comp AS (SELECT src AS vec_id, min(dst) AS component
+                 FROM reach GROUP BY src)
+        SELECT cf.vec_id, cf.cell,
+               coalesce(comp.component, cf.vec_id) AS component,
+               CASE WHEN comp.component IS NULL OR comp.component = cf.vec_id
+                    THEN 1 ELSE 0 END AS keep
+        FROM cf LEFT JOIN comp USING (vec_id)
+        ORDER BY cf.vec_id"""),
+      build = (s, d) => {
+        val comp = connectedComponents(
+          cappedCosinePairs(s, d)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+          .select(col("id").as("vec_id"), col("label").as("comp"))
+        cellAssignments(s, d)
+          .join(comp, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
             coalesce(col("comp"), col("vec_id")).as("component"),
             when(col("comp").isNull || col("comp") === col("vec_id"), 1)
               .otherwise(0).as("keep"))

@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
+  /** p06's per-source quantile gate: keep each source's lowest-scored
+    * (most fluent) `pct`% by the integer-rank-target cut
+    * rank ≤ (n·pct + 99) div 100 — selectivity is a fixed fraction at any
+    * corpus size, unlike p04's absolute threshold (which measurably
+    * starves to 0 rows at a 100×-scaled corpus). One source-keyed window
+    * over the compact (doc, score) frame. */
+  private[graft] def quantileGate(
+      docs: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame,
+      pct: Int): org.apache.spark.sql.DataFrame = {
+    val gw = Window.partitionBy("source")
+    docs
+      .join(scored, "doc_id")
+      .withColumn("grk", row_number().over(
+        gw.orderBy(col("score_milli"), col("doc_id"))))
+      .withColumn("gn", count(lit(1)).over(gw))
+      .filter(col("grk") <= expr(s"(gn * $pct + 99) div 100"))
+      .select("doc_id", "source", "text", "n_chars")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // V1 chunk→map→filter→collapse→reduce over documents with a passkey
     // planted mid-text: the pipeline must recover `doc-<id>` for every doc.
@@ -137,6 +157,110 @@ object Pipelines {
         val gated = Tables.documents(s, d)
           .join(gateIds, "doc_id")
           .select("doc_id", "source", "text", "n_chars")
+        val dedup = gated
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text").cast("binary")))
+              .orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val ares = pow(
+          (col("doc_id") * lit(2654435761L)) % lit(4294967296L) /
+            lit(4294967296.0),
+          lit(1.0) / col("n_chars"))
+        val quota = dedup
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(ares.desc, col("doc_id"))))
+          .filter(col("rk") <= 15)
+        val w = Window.partitionBy("source", "reader").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        quota
+          .select(col("source"), col("doc_id"),
+            Mix.readerCol(col("doc_id")).as("reader"),
+            size(split(col("text"), " ")).cast("long").as("doc_tokens"))
+          .select(col("source"), col("reader"), col("doc_id"),
+            col("doc_tokens"),
+            (sum(col("doc_tokens")).over(w) - col("doc_tokens"))
+              .as("tok_start"))
+          .orderBy("source", "reader", "doc_id")
+      }),
+
+    // --------------------------- quantile-gated training-mix pipeline
+    // p04 with the PRODUCTION form of its LM quality gate (VERDICT r9 #2):
+    // p04 keeps docs under an ABSOLUTE score threshold (reference-shaped,
+    // checkable), but an absolute cut starves as the corpus grows — at a
+    // 100×-scaled run add-V smoothing dilutes every score past the
+    // threshold and the gate passes 0 rows (measured, SCALE.md). A
+    // production mix cuts at a per-source score QUANTILE instead: keep
+    // each source's most-fluent 60%, a fixed fraction at ANY corpus size.
+    // The cut is the integer-rank-target pattern (the house invariant —
+    // never a float quantile): rank per source by (score, doc_id) and keep
+    // rank ≤ (n·60 + 99) div 100, so both engines agree exactly and the
+    // gate's selectivity is scale-invariant by construction. Downstream
+    // stages (exact dedup → A-Res quota → sequence packing) are p04's.
+    // Scale shape: the gate adds ONE source-keyed window over the compact
+    // (doc, score) frame — the same exchange the quota stage already pays.
+    QueryDef(
+      "p06_quantile_mix_pipeline",
+      covers = "D6 F6 X5 W6 W7 W8 mix north-star (quantile gate)",
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, source, text, n_chars,
+                             string_split(text, ' ') AS t
+                      FROM documents),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                FROM (SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+                GROUP BY w),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        lm_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg
+                  FROM (SELECT t[i] || ' ' || t[i+1] AS bg
+                        FROM toks, unnest(range(1, len(t))) AS u(i)
+                        WHERE source = 'src0')
+                  GROUP BY bg),
+        corpus AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+                   FROM toks, unnest(range(1, len(t))) AS u(i)
+                   WHERE source <> 'src0'),
+        scored AS (SELECT c.doc_id,
+                     CAST(sum(((COALESCE(u.cw, 0) + v.v) * 1000)
+                       // (COALESCE(b.cbg, 0) + 1)) AS BIGINT)
+                       // count(*) AS score_milli
+                   FROM corpus c
+                   LEFT JOIN uni u ON u.w = c.w1
+                   LEFT JOIN lm_bg b ON b.bg = c.bg
+                   CROSS JOIN v GROUP BY c.doc_id),
+        gated AS (SELECT doc_id, source, text, n_chars FROM (
+                    SELECT d.doc_id, d.source, d.text, d.n_chars,
+                           row_number() OVER (PARTITION BY d.source
+                             ORDER BY s.score_milli, d.doc_id) AS grk,
+                           count(*) OVER (PARTITION BY d.source) AS gn
+                    FROM documents d JOIN scored s USING (doc_id))
+                  WHERE grk <= (gn * 60 + 99) // 100),
+        dedup AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                    FROM gated) WHERE rn = 1),
+        quota AS (SELECT source, doc_id, text FROM (
+                    SELECT source, doc_id, text,
+                           row_number() OVER (PARTITION BY source ORDER BY
+                             pow(((doc_id * 2654435761) % 4294967296)
+                                 / 4294967296.0, 1.0 / n_chars) DESC,
+                             doc_id) AS rk
+                    FROM dedup) WHERE rk <= 15),
+        packed AS (SELECT source, doc_id,
+                          CAST(('0x' || substr(md5('p|' || doc_id::VARCHAR),
+                            1, 8))::UBIGINT % 8 AS INT) AS reader,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS doc_tokens
+                   FROM quota)
+        SELECT source, reader, doc_id, doc_tokens,
+               CAST(sum(doc_tokens) OVER (PARTITION BY source, reader
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - doc_tokens AS BIGINT) AS tok_start
+        FROM packed ORDER BY source, reader, doc_id"""),
+      build = (s, d) => {
+        // the memoized score frame is the persisted quality-score column a
+        // curation run shares with t14/p04 — same artifact, different cut
+        val gated = quantileGate(
+          Tables.documents(s, d),
+          TextAnalysis.lmScoredFrame(s, d).select("doc_id", "score_milli"),
+          pct = 60)
         val dedup = gated
           .withColumn("rn", row_number().over(
             Window.partitionBy(md5(col("text").cast("binary")))

@@ -99,6 +99,31 @@ class DedupSpec extends SparkTestBase {
     assert(got == want, "bloom-prefiltered result must equal the exact join")
   }
 
+  test("d16: cells partition each label block and pairs never leave d05's") {
+    // every vector gets exactly one cell in [0, ceil(block/64))
+    val asg = Dedup.cellAssignments(spark, dir)
+      .select("vec_id", "label", "cell").collect()
+    val byLabel = asg.groupBy(_.getInt(1))
+    assert(asg.map(_.getLong(0)).distinct.length == asg.length,
+      "each vector must be assigned exactly once")
+    byLabel.foreach { case (label, rows) =>
+      val k = (rows.length + Dedup.SemCap - 1) / Dedup.SemCap
+      assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < k),
+        s"label $label: cell ids must lie in [0, $k)")
+    }
+    // the capped form only LOSES pairs at cell boundaries, never invents:
+    // its pair set must be a subset of d05's exact label-blocked pairs
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(Dedup.cappedCosinePairs(spark, dir))
+    val exact = pairSet(Dedup.defs.find(_.name == "d05_embedding_neardup")
+      .get.build(spark, dir))
+    assert(capped.subsetOf(exact),
+      s"capped pairs must be a subset of d05's: extras=${capped -- exact}")
+    assert(capped.nonEmpty, "sf0.001 dup structure must survive the capping")
+  }
+
   test("d12: span counts reconcile and the earliest doc keeps its spans") {
     val rows = Dedup.defs.find(_.name == "d12_span_dedup").get
       .build(spark, dir).collect()

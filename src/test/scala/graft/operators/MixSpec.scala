@@ -19,6 +19,27 @@ class MixSpec extends SparkTestBase {
     assert(out.collect().toSeq == q.build(spark, dir).collect().toSeq)
   }
 
+  test("p06 quantile gate keeps exactly its rank-target fraction per source") {
+    // the property that distinguishes it from p04's absolute threshold:
+    // selectivity is (n·60 + 99) div 100 of each source's SCORED docs at
+    // any corpus size — the gate can never starve as scores dilute
+    val docs = graft.Tables.documents(spark, dir)
+    val scored = TextAnalysis.lmScoredFrame(spark, dir)
+      .select("doc_id", "score_milli")
+    val scoredPerSource = docs.join(scored, "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gatedPerSource = Pipelines.quantileGate(docs, scored, pct = 60)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gatedPerSource.keySet == scoredPerSource.keySet,
+      "every source with scored docs must survive the gate")
+    gatedPerSource.foreach { case (src, n) =>
+      val want = (scoredPerSource(src) * 60 + 99) / 100
+      assert(n == want, s"source $src: gate kept $n, rank target is $want")
+    }
+  }
+
   test("shard manifest covers every document exactly once per source") {
     val q = Mix.defs.find(_.name == "x02_shard_manifest").get
     val out = q.build(spark, dir).collect()
