@@ -1193,6 +1193,14 @@ object Dedup {
     // CARDINALITY and needs no triangle bucketing; components reuse the
     // d09 star loop. The repartition pin mirrors d05: AQE coalesces by
     // input bytes and cannot see pair-join output.
+    //
+    // The twin's argmin is a min-over-struct GROUP BY, not a row_number
+    // window: the window form forces DuckDB to materialize and sort the
+    // per-vector centroid join output WITH both 64-double vectors on
+    // every row (>75 GB of spill at the 100×-scaled corpus — measured
+    // disk-full abort), while the struct-min streams the same rows through
+    // a hash aggregate whose state is one struct per vector. Lexicographic
+    // struct comparison gives the identical (dist, cell) tie-break.
     QueryDef(
       "d16_semantic_dedup_capped",
       covers = "X5 north-star (SemDeDup capped blocks)",
@@ -1209,12 +1217,13 @@ object Dedup {
                         list_dot_product(rk.v, rk.v) AS cc
                  FROM rk JOIN sz USING (label)
                  WHERE rk.crn < (sz.bn + 63) // 64),
-        asg AS (SELECT e.vec_id, e.label, e.v, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY c.cc - 2 * list_dot_product(e.v, c.cv),
-                                  c.cell) AS arn
-                FROM e JOIN cent c USING (label)),
-        cf AS (SELECT vec_id, label, cell, v FROM asg WHERE arn = 1),
+        asg AS (SELECT e.vec_id,
+                       min({'d': c.cc - 2 * list_dot_product(e.v, c.cv),
+                            'c': c.cell}) AS mc
+                FROM e JOIN cent c USING (label)
+                GROUP BY e.vec_id),
+        cf AS (SELECT e.vec_id, e.label, a.mc.c AS cell, e.v
+               FROM e JOIN asg a USING (vec_id)),
         pairs AS (SELECT id_a, id_b FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.v, b.v) /
