@@ -60,8 +60,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
       if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp" else "")
     if (d.nonEmpty) {
-      IO.delete(file(d)) // reclaim RAM from stale spill/checkpoint dirs
-      IO.createDirectory(file(d))
-      Seq(s"-Djava.io.tmpdir=$d", "-Dspark.local.dir=/tmp")
+      val dir = file(d)
+      val marker = dir / ".graft-tmp"
+      // Only reclaim a dir THIS build previously created (marker present):
+      // a recursive delete of an arbitrary user-supplied path — /tmp, a
+      // shared scratch dir — would silently wipe unrelated data (ADVICE
+      // r10, medium). A fresh or foreign dir is used as-is.
+      if (marker.exists) IO.delete(dir)
+      IO.createDirectory(dir)
+      IO.touch(marker)
+      // spark.local.dir (shuffle files + disk spills) is pinned back to
+      // disk only when the temp dir is RAM-backed (the /dev/shm default) —
+      // at 100×-corpus runs tmpfs spills would compete with the heap for
+      // physical RAM. A user-supplied DISK scratch dir keeps spills too
+      // (ADVICE r10: don't shunt them onto a possibly-small /tmp).
+      val tmpfsBacked = d.startsWith("/dev/shm")
+      Seq(s"-Djava.io.tmpdir=$d") ++
+        (if (tmpfsBacked) Seq("-Dspark.local.dir=/tmp") else Seq.empty)
     } else Seq.empty
   }

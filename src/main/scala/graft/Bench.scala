@@ -178,6 +178,12 @@ object Bench {
           passSec(pass) += sec
           okPasses(i) += 1
         } catch { case e: Throwable =>
+          // the failure's elapsed time still counts toward the PASS total:
+          // pass_sec exists to compare pass-vs-pass wall clock, and a pass
+          // where a query errors after N seconds did spend those seconds —
+          // omitting them would make the erroring pass read artificially
+          // fast when error sets differ between passes (ADVICE r10)
+          passSec(pass) += (System.nanoTime() - t0) / 1e9
           lastErr(i) = Some(e.getClass.getSimpleName)
         }
         // release per-query state: localCheckpoint blocks are only reaped

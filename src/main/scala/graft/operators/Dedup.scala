@@ -394,7 +394,16 @@ object Dedup {
     * structs) and argmins in ONE codegen'd transform pass over the array —
     * ties on exact distance break by cell, mirroring the oracle's
     * row_number ORDER BY (dist, cell). */
-  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame =
+    // memoized (ADVICE r10): d16's build otherwise evaluates this lineage
+    // three times — both sides of the (label, cell) self-join in
+    // cappedCosinePairs plus the final output join — re-running the
+    // per-label window ranks and the broadcast argmin each time. The
+    // output is the compact (vec_id, label, cell, embedding, nrm) frame
+    // (n rows × one 64-float vector), the same shape d05 memoizes.
+    ResultMemo.materialized("d16_cells", s, d)(cellAssignmentsRaw(s, d))
+
+  private def cellAssignmentsRaw(s: SparkSession, d: String): DataFrame = {
     def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
     val e = Tables.embeddings(s, d)
     val k = broadcast(e.groupBy("label")
