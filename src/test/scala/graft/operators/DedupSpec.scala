@@ -124,6 +124,36 @@ class DedupSpec extends SparkTestBase {
     assert(capped.nonEmpty, "sf0.001 dup structure must survive the capping")
   }
 
+  test("d16: merge recall against d13 stays pinned") {
+    // The SemDeDup trade is recall at cell boundaries: d16 only considers
+    // pairs inside a (label, cell) sub-block, so it can MISS d13 merges
+    // whose endpoints land in different cells, never invent new ones
+    // (pairs ⊆ d05's ⟹ d16's components refine d13's ⟹ d16's keep=0
+    // set ⊆ d13's keep=0 set). Pin the measured recall so a centroid-
+    // selection regression that silently shreds dup cliques surfaces here,
+    // the same way s03/s05/s08/s10 pin ANN recall.
+    def dups(name: String) =
+      Dedup.defs.find(_.name == name).get.build(spark, dir)
+        .filter(col("keep") === 0).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val exactDups = dups("d13_semantic_dedup")
+    val cappedDups = dups("d16_semantic_dedup_capped")
+    assert(cappedDups.subsetOf(exactDups),
+      "capped merges must be a subset of d13's (pair subset ⟹ refinement)")
+    assert(exactDups.nonEmpty, "sf0.001 must contain semantic dup structure")
+    val recall = cappedDups.size.toDouble / exactDups.size
+    info(f"d16 merge recall vs d13 at sf0.001: $recall%.3f " +
+      s"(${cappedDups.size}/${exactDups.size})")
+    // measured (graft.tools.RecallProbe, numbers in SCALE.md): 1.000 at
+    // sf0.001 and sf0.01 (14/14, 26/26 — few cells, dup cliques co-celled),
+    // 0.429 at sf0.1 where ~31 cells split the LOOSE 0.35-0.5-cos pairs
+    // (the only pair above cos 0.5 there survives — boundary loss is a
+    // looseness effect, the documented SemDeDup trade). This spec runs at
+    // sf0.001; floor at 0.9 — below that the quantizer is broken, not
+    // unlucky.
+    assert(recall >= 0.9, f"d16 recall collapsed: $recall%.3f < 0.9")
+  }
+
   test("d12: span counts reconcile and the earliest doc keeps its spans") {
     val rows = Dedup.defs.find(_.name == "d12_span_dedup").get
       .build(spark, dir).collect()
