@@ -69,13 +69,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
       if (marker.exists) IO.delete(dir)
       IO.createDirectory(dir)
       IO.touch(marker)
-      // spark.local.dir (shuffle files + disk spills) is pinned back to
-      // disk only when the temp dir is RAM-backed (the /dev/shm default) —
-      // at 100×-corpus runs tmpfs spills would compete with the heap for
-      // physical RAM. A user-supplied DISK scratch dir keeps spills too
-      // (ADVICE r10: don't shunt them onto a possibly-small /tmp).
-      val tmpfsBacked = d.startsWith("/dev/shm")
-      Seq(s"-Djava.io.tmpdir=$d") ++
-        (if (tmpfsBacked) Seq("-Dspark.local.dir=/tmp") else Seq.empty)
+      // spark.local.dir (shuffle files + disk spills) FOLLOWS java.io.tmpdir
+      // — i.e. shuffle rides the tmpfs default. The r10 pin back to /tmp
+      // was A/B'd this round (ScaleBench heavy15 sf0.1, A-B-A-B interleaved
+      // sessions): disk 17.0/18.1 s vs tmpfs 14.8/14.2 s — a consistent
+      // 17-21%, a real floor shift, not draw variance (and the likely bulk
+      // of r10's 60→75 s bench drift). The r9-advisory RAM-competition
+      // concern applies to runs whose spill volume rivals physical RAM:
+      // for 100×+ corpora set SPARK_GRAFT_LOCAL_DIR to a disk path (the
+      // measured sf10 shuffle peaks at a few GB against 126 GB of tmpfs,
+      // so even those are safe on this box). A user-supplied DISK
+      // SPARK_GRAFT_TMPDIR keeps spills on that disk (ADVICE r10: never
+      // shunt them onto a possibly-small /tmp).
+      sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
+        .map(p => Seq(s"-Djava.io.tmpdir=$d", s"-Dspark.local.dir=$p"))
+        .getOrElse(Seq(s"-Djava.io.tmpdir=$d"))
     } else Seq.empty
   }

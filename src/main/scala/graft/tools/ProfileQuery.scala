@@ -58,10 +58,16 @@ object ProfileQuery {
         }
       })
 
+    // SPARK_GRAFT_BYPASS=1 runs every rep under ResultMemo.bypass: no
+    // localCheckpoint materialization, no cross-run memo — isolates the
+    // checkpoint-write cost of a memoized frame from its compute cost
+    // (every rep is honestly cold)
+    val bypass = sys.env.get("SPARK_GRAFT_BYPASS").exists(_ == "1")
     (1 to runs).foreach { r =>
       val j0 = jobs.size()
       val t0 = System.nanoTime()
-      val n  = fn(spark, d).count()
+      val n  = if (bypass) operators.ResultMemo.bypass(fn(spark, d).count())
+               else fn(spark, d).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async (the Bench.scala lesson): give the bus a
       // beat so the run's last job-start events land in this run's count

@@ -35,7 +35,17 @@ object ScaleBench {
     val passes = (if (args.length > 2) args(2).toInt else 2).max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    val spark = GraftSession.builder("graft-scale-bench", cpus).getOrCreate()
+    val b = GraftSession.builder("graft-scale-bench", cpus)
+    // generic conf lever (as in ConfExperiment/SessionAb) so conf A/Bs can
+    // run under THIS tool's honest pass discipline — memos cleared and
+    // indexes re-warmed per pass — instead of ConfExperiment's warm reps,
+    // which a whole-result-memoized query reduces to a checkpoint read
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // table footer/catalog warm-up (the bench's pre-loop step)
