@@ -62,13 +62,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
     if (d.nonEmpty) {
       val dir = file(d)
       val marker = dir / ".graft-tmp"
-      // Only reclaim a dir THIS build previously created (marker present):
-      // a recursive delete of an arbitrary user-supplied path — /tmp, a
-      // shared scratch dir — would silently wipe unrelated data (ADVICE
-      // r10, medium). A fresh or foreign dir is used as-is.
-      if (marker.exists) IO.delete(dir)
+      // Only reclaim a dir named graft-tmp that THIS build previously
+      // stamped (marker present): a recursive delete of an arbitrary
+      // user-supplied path — /tmp, a shared scratch dir — would silently
+      // wipe unrelated data (ADVICE r10, medium). The basename guard is
+      // load-bearing ON TOP of the marker: a marker alone would make a
+      // shared dir deletable on the SECOND sbt load (first load stamps it,
+      // second load wipes it). A fresh or foreign dir is used as-is.
+      if (dir.getName == "graft-tmp" && marker.exists) IO.delete(dir)
       IO.createDirectory(dir)
-      IO.touch(marker)
+      if (dir.getName == "graft-tmp") IO.touch(marker)
       // spark.local.dir (shuffle files + disk spills) FOLLOWS java.io.tmpdir
       // — i.e. shuffle rides the tmpfs default. The r10 pin back to /tmp
       // was A/B'd this round (ScaleBench heavy15 sf0.1, A-B-A-B interleaved
