@@ -29,11 +29,45 @@ import org.apache.spark.sql.SparkSession
   */
 object Warm {
 
-  def indexes(spark: SparkSession, sfDir: String, tag: String = "warm"): Unit = {
+  /** Which queries READ each artifact — a SUBSET bench (ScaleBench) only
+    * builds the artifacts its timed subset consumes. Generous supersets
+    * are safe (an unused warm costs untimed time, never honesty);
+    * UNDER-listing a consumer is the r5 regression class (its timed run
+    * silently pays the bootstrap), so when adding a query that reads a
+    * persisted artifact, add it here. The full bench passes `only` empty
+    * and builds everything, as before. */
+  private val consumers: Map[String, Set[String]] = Map(
+    "lake layout" -> Set("q35_bucketed_colocated_join", "q42_zorder_scan",
+      "q48_compaction"),
+    "media table" -> Set("m01_binary_metadata", "m02_media_features",
+      "m03_image_phash_dedup", "m04_audio_afp_dedup",
+      "m05_video_phash_dedup", "m06s_stream_phash_index", "m07_thumbnail",
+      "p05_media_curation"),
+    "phash index" -> Set("m03_image_phash_dedup", "m06s_stream_phash_index",
+      "p05_media_curation"),
+    "afp index" -> Set("m04_audio_afp_dedup"),
+    "vhash index" -> Set("m05_video_phash_dedup"),
+    "signature index" -> Set("d03_minhash_lsh", "d06_minhash_verified",
+      "d08_decontaminate", "d14s_stream_sig_index", "d15_delta_dedup",
+      "p03_corpus_curation"),
+    "vocab index" -> Set("t08_vocab_topk", "t09_token_rarity",
+      "t10_bm25_keywords", "q44_heavy_hitters_cms"),
+    "bpe merges" -> Set("t11_bpe_train", "t12_bpe_apply",
+      "t13s_stream_token_monitor"),
+    "bigram lm" -> Set("t14_lm_quality", "t14s_stream_lm_gate",
+      "p04_training_mix_pipeline", "p06_quantile_mix_pipeline"),
+    "pq index" -> Set("s06_quantized_topk", "s07_ann_pq_topk",
+      "s08_ann_recall_pq", "s09_ann_ivfpq_topk",
+      "s10_ann_pq_trained_recall"),
+  )
+
+  def indexes(spark: SparkSession, sfDir: String, tag: String = "warm",
+      only: Set[String] = Set.empty): Unit = {
     def warmed(what: String)(f: => Any): Unit =
-      try { f; () } catch { case e: Throwable =>
-        System.err.println(s"[$tag] index warm-up '$what' failed: ${e.getMessage}")
-      }
+      if (only.isEmpty || consumers(what).exists(only.contains))
+        try { f; () } catch { case e: Throwable =>
+          System.err.println(s"[$tag] index warm-up '$what' failed: ${e.getMessage}")
+        }
     warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
     warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
     warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())

@@ -60,7 +60,12 @@ object ScaleBench {
 
     // the shared persisted-artifact list (graft.Warm) — kept identical to
     // the bench's so the scale trend times the same warm conditions
-    def warmIndexes(): Unit = Warm.indexes(spark, sfDir, tag = "scale")
+    // subset-aware: only build the artifacts this run's queries READ —
+    // at a third-decade corpus the full artifact build (media synthesis
+    // over 5M docs, PQ over 2M vectors) dominated wall time per pass
+    // while the measured subset never touched it
+    def warmIndexes(): Unit =
+      Warm.indexes(spark, sfDir, tag = "scale", only = names.toSet)
 
     val qs = SparkEntry.queries
     val best = scala.collection.mutable.Map.empty[String, Double]

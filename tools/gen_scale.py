@@ -137,8 +137,15 @@ def scale_embeddings(src, out, factor):
     print(f"  embeddings: {t.num_rows} x {factor} rows (rotated copies)")
 
 
-def main(src, out, factor):
+def main(src, out, factor, tables=None):
+    """tables: optional csv subset ("documents,embeddings") — a third-decade
+    (1000×) corpus of every fact table is tens of GB and most of it unused
+    when the measured subset only reads documents/embeddings; dimensions
+    are always copied (they are KBs and Tables warm-up expects them)."""
     factor = int(factor)
+    want = set(tables.split(",")) if tables else None
+    def wanted(name):
+        return want is None or name in want
     import os
     os.makedirs(out, exist_ok=True)
     for name in COPY_VERBATIM:
@@ -147,17 +154,21 @@ def main(src, out, factor):
     # one shared orderkey offset for both tables (ADVICE r9): deriving
     # lineitem's from max(l_orderkey) diverges from orders' whenever the
     # highest orderkeys lack lineitems, breaking o↔l joins in every copy
-    order_off = int(pc.max(read(src, "orders").column("o_orderkey")
-                           ).as_py()) + 1
-    scale_keyed(src, out, "orders", ["o_orderkey"], factor,
-                fixed_offs={"o_orderkey": order_off})
-    scale_keyed(src, out, "lineitem", ["l_orderkey"], factor,
-                fixed_offs={"l_orderkey": order_off})
-    scale_keyed(src, out, "events", ["event_id", "user_id"], factor)
-    scale_documents(src, out, factor)
-    scale_embeddings(src, out, factor)
+    if wanted("orders") or wanted("lineitem"):
+        order_off = int(pc.max(read(src, "orders").column("o_orderkey")
+                               ).as_py()) + 1
+        scale_keyed(src, out, "orders", ["o_orderkey"], factor,
+                    fixed_offs={"o_orderkey": order_off})
+        scale_keyed(src, out, "lineitem", ["l_orderkey"], factor,
+                    fixed_offs={"l_orderkey": order_off})
+    if wanted("events"):
+        scale_keyed(src, out, "events", ["event_id", "user_id"], factor)
+    if wanted("documents"):
+        scale_documents(src, out, factor)
+    if wanted("embeddings"):
+        scale_embeddings(src, out, factor)
     print(f"done -> {out}")
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:4])
+    main(*sys.argv[1:5])
