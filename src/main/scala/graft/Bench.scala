@@ -47,7 +47,7 @@ object Bench {
       val warm = GraftSession.builder("graft-bench-warm", cpus).getOrCreate()
       warm.sparkContext.setLogLevel("WARN")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(warm, warmDir).count()
+        try Force(fn(warm, warmDir))
         catch { case _: Throwable => () }
       }
       warm.stop()
@@ -172,7 +172,7 @@ object Bench {
         // fold elapsed into best only on success — a fast failure must not
         // masquerade as a fast run next to its error entry
         try {
-          fn(spark, sfDir).count()
+          Force(fn(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < bestSec(i)) bestSec(i) = sec
           passSec(pass) += sec

@@ -49,7 +49,7 @@ object ConfExperiment {
       var failed = false
       val secs = (0 until reps).map { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, d).count() } catch { case e: Throwable =>
+        try { Force(fn(spark, d)) } catch { case e: Throwable =>
           failed = true
           println(s"[exp] $n ERR ${e.getClass.getSimpleName}") }
         last = (System.nanoTime() - t0) / 1e9

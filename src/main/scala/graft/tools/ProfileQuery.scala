@@ -66,14 +66,16 @@ object ProfileQuery {
     (1 to runs).foreach { r =>
       val j0 = jobs.size()
       val t0 = System.nanoTime()
-      val n  = if (bypass) operators.ResultMemo.bypass(fn(spark, d).count())
-               else fn(spark, d).count()
+      // Force, not count(): a bare count lets Catalyst prune projection-
+      // only stages and determinism sorts — profile what the bench times
+      if (bypass) operators.ResultMemo.bypass(Force(fn(spark, d)))
+      else Force(fn(spark, d))
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events are async (the Bench.scala lesson): give the bus a
       // beat so the run's last job-start events land in this run's count
       Thread.sleep(100L)
       println(f"[prof] $name run $r: $sec%6.2f s " +
-        f"($n rows, ${jobs.size() - j0} jobs)")
+        f"(${jobs.size() - j0} jobs)")
     }
     spark.stop()
   }

@@ -79,7 +79,7 @@ object ScaleBench {
       names.foreach { n =>
         val t0 = System.nanoTime()
         try {
-          qs(n)(spark, sfDir).count()
+          Force(qs(n)(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best.getOrElse(n, Double.MaxValue)) best(n) = sec
           System.err.println(f"[scale] pass$pass $n%-28s $sec%7.3f s")
