@@ -477,7 +477,24 @@ object Relational {
           .orderBy("l_returnflag")),
 
     // engine-completeness: exact interpolated percentiles (both engines use
-    // linear interpolation; rounded to 4dp for float stability)
+    // linear interpolation; rounded to 4dp for float stability).
+    //
+    // NOT Spark's `percentile` aggregate: that buffers EVERY value of a group
+    // in one ObjectHashAggregate map and merges those maps single-threaded —
+    // per-group state is O(distinct values), so one hot group at 100 TB is
+    // tens of millions of entries in a single task's heap (4.25 s at sf0.1,
+    // 106x DuckDB — the suite's one scale-killer before this form landed).
+    //
+    // Rank-based exact percentile instead — one shuffle, one spillable sort,
+    // no join: row_number + per-partition count in the same window pass give
+    // each value its 1-based rank rk and its group size n; a row survives only
+    // if rk is an interpolation neighbor floor/ceil(p*(n-1))+1 for some target
+    // percentile (≤4 rows per group), then a tiny agg applies quantile_cont's
+    // exact formula v_lo + frac*(v_hi - v_lo). WindowExec buffers partitions
+    // in a spillable row array, so per-task state is disk-bounded, not
+    // heap-bounded like `percentile`'s map. The per-group sort serializes one
+    // task per group — acceptable for the grouping cardinalities this query
+    // family targets; for near-unique group keys the plain agg is right.
     QueryDef(
       "q31_percentiles",
       covers = "engine-complete (A10 family)",
@@ -486,13 +503,42 @@ object Relational {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      build = (s, d) =>
+      build = (s, d) => {
+        def loRk(p: Double) =
+          floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1
+        def frac(p: Double) = {
+          val h = lit(p) * (col("n") - 1).cast("double")
+          h - floor(h)
+        }
+        def hiRk(p: Double) =
+          when(frac(p) > 0, loRk(p) + 1).otherwise(loRk(p))
+        def interp(p: Double, tag: String) = {
+          val vLo = max(when(col("rk") === loRk(p), col("v")))
+          val vHi = max(when(col("rk") === hiRk(p), col("v")))
+          round(vLo + max(frac(p)) * (vHi - vLo), 4).as(tag)
+        }
         Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
-          .orderBy("l_returnflag")),
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+          // same (partition, order) spec for both → ONE WindowExec pass, one
+          // sort; count's unbounded-both frame rides the row_number buffer
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("g").orderBy("v")))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("g").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(
+            col("rk") === loRk(0.5) || col("rk") === hiRk(0.5) ||
+            col("rk") === loRk(0.9) || col("rk") === hiRk(0.9))
+          .groupBy(col("g").as("l_returnflag"))
+          .agg(interp(0.5, "p50"), interp(0.9, "p90"))
+          // NOT a global orderBy: rangepartitioning's boundary-sampling pass
+          // re-executes the un-materialized window+agg stage — the whole
+          // query ran twice (measured: 2×0.8 s AQE jobs at sf0.1). The agg
+          // output is one row per group key: shuffle it to one partition and
+          // sort locally — total order, no sampling, no double execution.
+          .repartition(1)
+          .sortWithinPartitions("l_returnflag")
+      }),
 
     // engine-completeness: pivot = conditional aggregation
     QueryDef(

@@ -54,7 +54,8 @@ object ProfileQuery {
           } yield (a - b) / 1e3).getOrElse(-1.0)
           if (secs > 0.5)
             println(f"[prof]     stage ${si.stageId}%3d $secs%6.2f s " +
-              f"${si.numTasks}%3d tasks")
+              f"${si.numTasks}%3d tasks" +
+              (if (verbose) s" | ${si.name.take(70)}" else ""))
         }
       })
 
@@ -63,6 +64,17 @@ object ProfileQuery {
     // checkpoint-write cost of a memoized frame from its compute cost
     // (every rep is honestly cold)
     val bypass = sys.env.get("SPARK_GRAFT_BYPASS").exists(_ == "1")
+    // SPARK_GRAFT_PROF_EXPLAIN=1: dump the formatted physical plan once
+    // (pre-AQE shape), then the post-execution final AQE plan after a run —
+    // the latter shows the runtime stage boundaries the listener times
+    if (sys.env.get("SPARK_GRAFT_PROF_EXPLAIN").exists(_ == "1")) {
+      val df = fn(spark, d)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      Force(df)
+      println("== Final (post-AQE) Plan ==")
+      println(df.queryExecution.executedPlan.toString.take(6000))
+    }
     (1 to runs).foreach { r =>
       val j0 = jobs.size()
       val t0 = System.nanoTime()
