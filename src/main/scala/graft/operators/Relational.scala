@@ -485,16 +485,24 @@ object Relational {
     // tens of millions of entries in a single task's heap (4.25 s at sf0.1,
     // 106x DuckDB — the suite's one scale-killer before this form landed).
     //
-    // Rank-based exact percentile instead — one shuffle, one spillable sort,
-    // no join: row_number + per-partition count in the same window pass give
-    // each value its 1-based rank rk and its group size n; a row survives only
-    // if rk is an interpolation neighbor floor/ceil(p*(n-1))+1 for some target
-    // percentile (≤4 rows per group), then a tiny agg applies quantile_cont's
-    // exact formula v_lo + frac*(v_hi - v_lo). WindowExec buffers partitions
-    // in a spillable row array, so per-task state is disk-bounded, not
-    // heap-bounded like `percentile`'s map. The per-group sort serializes one
-    // task per group — acceptable for the grouping cardinalities this query
-    // family targets; for near-unique group keys the plain agg is right.
+    // Sketch-bracketed two-pass exact percentile instead — fully parallel,
+    // no per-group sort at all (a row_number window form was measured as the
+    // middle step: bounded state but ONE task per group, 40 s at sf10 vs
+    // this form's parallel scans; at 100 TB a group is billions of rows and
+    // a per-group sort task is days):
+    //   pass 1: per group, n and a percentile_approx sketch (mergeable
+    //     GK summary, map-side partial, rank error ≤ n/ACC) bracketing each
+    //     interpolation target p with data values at p ± MARGIN;
+    //   pass 2: per group, count(v < a) and collect ONLY the in-bracket
+    //     slice (≤ ~2·MARGIN·n values ≈ n/1000 at these constants — tune
+    //     ACC up as n grows); ranks are contiguous, so the row ranked r is
+    //     the (r - count_below)-th element of the sorted slice — exact
+    //     selection regardless of sketch error, duplicates included;
+    //   then quantile_cont's formula v_lo + frac·(v_hi − v_lo) on the two
+    //   neighbors at floor/ceil(p·(n−1))+1.
+    // Both passes are codegen-friendly scans with 32-way parallel partial
+    // aggregation; per-task state is the sketch / the bracket slice — both
+    // bounded and accuracy-tunable.
     QueryDef(
       "q31_percentiles",
       covers = "engine-complete (A10 family)",
@@ -504,38 +512,66 @@ object Relational {
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       build = (s, d) => {
-        def loRk(p: Double) =
-          floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1
-        def frac(p: Double) = {
-          val h = lit(p) * (col("n") - 1).cast("double")
-          h - floor(h)
-        }
+        val ps  = Seq(0.5, 0.9)
+        val acc = 10000
+        // sketch rank error is n/acc; 5x margin makes the bracket provably
+        // contain the target ranks with room for the ±1 edge effects
+        val margin = 5.0 / acc
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+        val bracketPs = ps.flatMap(p =>
+          Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)))
+        val brackets = li.groupBy("g").agg(
+            count(col("v")).as("n"),
+            percentile_approx(col("v"),
+              array(bracketPs.map(lit): _*), lit(acc)).as("qs"))
+          .select(col("g").as("bg") +: col("n") +:
+            ps.zipWithIndex.flatMap { case (p, i) => Seq(
+              col("qs").getItem(2 * i).as(s"a$i"),
+              col("qs").getItem(2 * i + 1).as(s"b$i")) }: _*)
+        def h(p: Double)    = lit(p) * (col("n") - 1).cast("double")
+        def loRk(p: Double) = floor(h(p)).cast("long") + 1
+        def frac(p: Double) = h(p) - floor(h(p))
         def hiRk(p: Double) =
           when(frac(p) > 0, loRk(p) + 1).otherwise(loRk(p))
-        def interp(p: Double, tag: String) = {
-          val vLo = max(when(col("rk") === loRk(p), col("v")))
-          val vHi = max(when(col("rk") === hiRk(p), col("v")))
-          round(vLo + max(frac(p)) * (vHi - vLo), 4).as(tag)
+        val joined = li.join(broadcast(brackets), col("g") === col("bg"))
+        // split pass 2: collect_list would force the WHOLE corpus-sized agg
+        // onto the non-codegen ObjectHashAggregate path (measured 14.6 s of
+        // 18 at sf10). Below-counts stay a pure codegen HashAggregate over
+        // the full scan; the object-path collect only ever sees the
+        // pre-filtered in-bracket slice (~n/1000 rows).
+        val below = joined.groupBy("g").agg(
+          first(col("n")).as("n"),
+          ps.indices.map(i =>
+            sum(when(col("v") < col(s"a$i"), 1L).otherwise(0L))
+              .as(s"below$i")): _*)
+        val slices = joined
+          .filter(ps.indices
+            .map(i => col("v").between(col(s"a$i"), col(s"b$i")))
+            .reduce(_ || _))
+          .groupBy("g")
+          .agg(
+            sort_array(collect_list(
+              when(col("v").between(col("a0"), col("b0")), col("v"))))
+              .as("slice0"),
+            ps.indices.drop(1).map(i =>
+              sort_array(collect_list(
+                when(col("v").between(col(s"a$i"), col(s"b$i")), col("v"))))
+                .as(s"slice$i")): _*)
+        val picked = below.join(slices, "g")
+        val out = ps.zipWithIndex.foldLeft(picked) { case (df, (p, i)) =>
+          val vLo = element_at(col(s"slice$i"),
+            (loRk(p) - col(s"below$i")).cast("int"))
+          val vHi = element_at(col(s"slice$i"),
+            (hiRk(p) - col(s"below$i")).cast("int"))
+          df.withColumn(s"q$i", round(vLo + frac(p) * (vHi - vLo), 4))
         }
-        Tables.lineitem(s, d)
-          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-          // same (partition, order) spec for both → ONE WindowExec pass, one
-          // sort; count's unbounded-both frame rides the row_number buffer
-          .withColumn("rk",
-            row_number().over(Window.partitionBy("g").orderBy("v")))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy("g").orderBy("v")
-              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .filter(
-            col("rk") === loRk(0.5) || col("rk") === hiRk(0.5) ||
-            col("rk") === loRk(0.9) || col("rk") === hiRk(0.9))
-          .groupBy(col("g").as("l_returnflag"))
-          .agg(interp(0.5, "p50"), interp(0.9, "p90"))
+        out.select(col("g").as("l_returnflag"), col("q0").as("p50"),
+            col("q1").as("p90"))
           // NOT a global orderBy: rangepartitioning's boundary-sampling pass
-          // re-executes the un-materialized window+agg stage — the whole
-          // query ran twice (measured: 2×0.8 s AQE jobs at sf0.1). The agg
-          // output is one row per group key: shuffle it to one partition and
-          // sort locally — total order, no sampling, no double execution.
+          // re-executes the un-materialized agg stage (measured: the whole
+          // query ran twice). One row per group key: single-partition local
+          // sort gives total order with no sampling pass.
           .repartition(1)
           .sortWithinPartitions("l_returnflag")
       }),
