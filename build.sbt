@@ -48,14 +48,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // reliable storage explicitly — this only tunes the local-mode temp
   // path. SPARK_GRAFT_TMPDIR overrides; empty value disables.
   //
-  // Scope (ADVICE r9): java.io.tmpdir is ALSO the local-mode default for
-  // spark.local.dir, i.e. shuffle files and disk spills — at 100×-corpus
-  // runs those would compete with the 20g heap for physical RAM on a
-  // tmpfs. So spark.local.dir is pinned back to disk explicitly below:
-  // only the streaming offset/commit/state temp (the measured 5%) stays
-  // RAM-backed. The stale graft-tmp of a previous (possibly killed) run
-  // is deleted at sbt load — safe under the measurement discipline of
-  // never running two graft JVMs concurrently.
+  // Scope: java.io.tmpdir is ALSO the local-mode default for
+  // spark.local.dir, i.e. shuffle files and disk spills — and since the
+  // r11 A/B (17-21% floor shift, see below) shuffle deliberately RIDES
+  // this tmpfs default. SPARK_GRAFT_LOCAL_DIR is the disk escape hatch
+  // for runs whose spill volume rivals physical RAM. The stale graft-tmp
+  // of a previous (possibly killed) run is deleted at sbt load — safe
+  // under the measurement discipline of never running two graft JVMs
+  // concurrently.
   {
     val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
       if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp" else "")
@@ -66,12 +66,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
       // stamped (marker present): a recursive delete of an arbitrary
       // user-supplied path — /tmp, a shared scratch dir — would silently
       // wipe unrelated data (ADVICE r10, medium). The basename guard is
-      // load-bearing ON TOP of the marker: a marker alone would make a
-      // shared dir deletable on the SECOND sbt load (first load stamps it,
-      // second load wipes it). A fresh or foreign dir is used as-is.
-      if (dir.getName == "graft-tmp" && marker.exists) IO.delete(dir)
+      // load-bearing ON TOP of the marker, and the marker itself is only
+      // stamped on a dir this build CREATED (ADVICE r11: stamping a
+      // pre-existing user dir that happens to be named graft-tmp would
+      // make it — user data included — deletable on the next load). A
+      // fresh or foreign dir is used as-is, never stamped, never wiped.
+      val hadMarker = marker.exists
+      if (dir.getName == "graft-tmp" && hadMarker) IO.delete(dir)
+      val created = !dir.exists
       IO.createDirectory(dir)
-      if (dir.getName == "graft-tmp") IO.touch(marker)
+      if (dir.getName == "graft-tmp" && (created || hadMarker))
+        IO.touch(marker)
       // spark.local.dir (shuffle files + disk spills) FOLLOWS java.io.tmpdir
       // — i.e. shuffle rides the tmpfs default. The r10 pin back to /tmp
       // was A/B'd this round (ScaleBench heavy15 sf0.1, A-B-A-B interleaved

@@ -61,13 +61,33 @@ object Warm {
       "s10_ann_pq_trained_recall"),
   )
 
+  /** Every warm-up step's label, for the spec that pins labels ==
+    * consumers.keySet (so a new artifact can't silently lose its warm
+    * under ScaleBench subsets, or fall into the unconditional-warm
+    * fallback above). */
+  private[graft] val labels: Seq[String] = Seq(
+    "lake layout", "media table", "phash index", "afp index", "vhash index",
+    "signature index", "vocab index", "bpe merges", "bigram lm", "pq index")
+
+  private[graft] def consumerKeys: Set[String] = consumers.keySet
+
   def indexes(spark: SparkSession, sfDir: String, tag: String = "warm",
       only: Set[String] = Set.empty): Unit = {
-    def warmed(what: String)(f: => Any): Unit =
-      if (only.isEmpty || consumers(what).exists(only.contains))
+    def warmed(what: String)(f: => Any): Unit = {
+      // getOrElse, not apply (ADVICE r11): a warmed() label with no
+      // consumers entry must not throw and kill the whole warm-up — warm
+      // it unconditionally instead (an extra warm costs untimed time,
+      // never honesty) and complain loudly so the map gets fixed.
+      val who = consumers.getOrElse(what, {
+        System.err.println(s"[$tag] index warm-up '$what' has no " +
+          "Warm.consumers entry — warming unconditionally; add it to the map")
+        Set.empty[String]
+      })
+      if (only.isEmpty || who.isEmpty || who.exists(only.contains))
         try { f; () } catch { case e: Throwable =>
           System.err.println(s"[$tag] index warm-up '$what' failed: ${e.getMessage}")
         }
+    }
     warmed("lake layout")(operators.Lake.warmLayout(spark, sfDir))
     warmed("media table")(operators.Multimodal.mediaTable(spark, sfDir).count())
     warmed("phash index")(operators.Multimodal.phashFrame(spark, sfDir).count())

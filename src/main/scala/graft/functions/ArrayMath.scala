@@ -99,8 +99,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class NearestCellBc(
     left: Expression, right: Expression,
-    bc: org.apache.spark.broadcast.Broadcast[
-      Map[Int, (Array[Double], Array[Double])]])
+    bc: org.apache.spark.broadcast.Broadcast[CentroidTable])
   extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -119,7 +118,7 @@ case class NearestCellBc(
     nullSafeCodeGen(ctx, ev, (l, e) => s"""
       |${ev.value} = graft.functions.ArrayMath.nearestCellIn(
       |  $l, $e, $embIsFloat,
-      |  (scala.collection.immutable.Map) $ref.value());
+      |  (graft.functions.CentroidTable) $ref.value());
       """.stripMargin)
   }
 
@@ -128,15 +127,68 @@ case class NearestCellBc(
     copy(left = newLeft, right = newRight)
 }
 
+/** Label-indexed centroid table — the broadcast value [[NearestCellBc]]
+  * probes. Dense arrays over the label range replace the previous
+  * `Map[Int, _]` (VERDICT r11: the per-row Map apply boxed the label on
+  * every probe — the last allocation in d16's hot loop); a lookup is two
+  * array loads. `dim` is validated once at build time against every
+  * label's matrix (ADVICE r11: a ragged-dim corpus previously misaligned
+  * the flattened matrix silently) and once per row against the probe
+  * embedding, so dimension drift fails loudly instead of returning wrong
+  * cells. */
+final class CentroidTable private (
+    val minLabel: Int, val dim: Int,
+    cvs: Array[Array[Double]], ccs: Array[Array[Double]])
+  extends Serializable {
+
+  /** Flattened k×dim centroid matrix for `label`; throws on unknown. */
+  def vectors(label: Int): Array[Double] = {
+    val i = label - minLabel
+    if (i < 0 || i >= cvs.length || cvs(i) == null)
+      throw new NoSuchElementException(s"no centroid table for label $label")
+    cvs(i)
+  }
+
+  /** Per-centroid self-dot (‖c‖²) array for `label`. */
+  def selfDots(label: Int): Array[Double] = ccs(label - minLabel)
+}
+
+object CentroidTable {
+  def build(rows: Seq[(Int, Array[Double], Array[Double])]): CentroidTable = {
+    require(rows.nonEmpty, "empty centroid table")
+    val dims = rows.map { case (l, cv, cc) =>
+      require(cc.nonEmpty, s"label $l has no centroids")
+      require(cv.length % cc.length == 0,
+        s"label $l: ${cv.length} flattened values not divisible by " +
+          s"${cc.length} centroids")
+      cv.length / cc.length
+    }.distinct
+    require(dims.size == 1,
+      s"ragged centroid dimensions across labels: $dims")
+    val minL = rows.iterator.map(_._1).min
+    val maxL = rows.iterator.map(_._1).max
+    val cvs = new Array[Array[Double]](maxL - minL + 1)
+    val ccs = new Array[Array[Double]](maxL - minL + 1)
+    rows.foreach { case (l, cv, cc) => cvs(l - minL) = cv; ccs(l - minL) = cc }
+    new CentroidTable(minL, dims.head, cvs, ccs)
+  }
+}
+
 object ArrayMath {
 
   /** The primitive-array argmin [[NearestCellBc]] compiles to: one
-    * embedding copy per row, then pure double[] loops. Java-callable from
-    * generated code. */
+    * embedding copy per row, then pure double[] loops — the label lookup
+    * is two array loads (no boxing), and a probe whose dimension differs
+    * from the table's fails loudly instead of misreading the flattened
+    * matrix. Java-callable from generated code. */
   def nearestCellIn(label: Int, emb: ArrayData, embIsFloat: Boolean,
-      m: Map[Int, (Array[Double], Array[Double])]): Int = {
-    val (cvs, ccs) = m(label)
+      t: CentroidTable): Int = {
+    val cvs = t.vectors(label)
+    val ccs = t.selfDots(label)
     val d = emb.numElements()
+    if (d != t.dim)
+      throw new IllegalArgumentException(
+        s"embedding dim $d != centroid dim ${t.dim} (label $label)")
     val e = new Array[Double](d)
     var j = 0
     if (embIsFloat) while (j < d) { e(j) = emb.getFloat(j); j += 1 }
@@ -160,8 +212,7 @@ object ArrayMath {
   /** Column API for [[NearestCellBc]] (registry slot keyed by broadcast
     * id — one per live centroid table, the Bpe.tokenizeCol posture). */
   def nearestCellBc(spark: SparkSession, label: Column, emb: Column,
-      bc: org.apache.spark.broadcast.Broadcast[
-        Map[Int, (Array[Double], Array[Double])]]): Column = {
+      bc: org.apache.spark.broadcast.Broadcast[CentroidTable]): Column = {
     val name = s"graft_nearest_cell_bc_${bc.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => NearestCellBc(es(0), es(1), bc), "built-in")

@@ -446,10 +446,14 @@ object Dedup {
           .cast("array<double>").as("cvs"),
         transform(col("cents"), c => c.getField("cc")).as("ccs"))
       .collect()
-    val centMap = centRows.map { r =>
-      r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
-    }.toMap
-    val bc = s.sparkContext.broadcast(centMap)
+    // label-indexed dense table, not a Map (VERDICT r11): the kernel's
+    // per-row lookup is two array loads, and build() validates every
+    // label's flattened matrix against one shared dim so a ragged corpus
+    // fails loudly here instead of misassigning cells silently
+    val table = graft.functions.CentroidTable.build(centRows.toSeq.map { r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+    })
+    val bc = s.sparkContext.broadcast(table)
     e.withColumn("cell", graft.functions.ArrayMath.nearestCellBc(
         s, col("label"), col("embedding"), bc))
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"),

@@ -52,7 +52,8 @@ object RecallProbe {
     val e13 = dropSet("d13_semantic_dedup")
     val c16 = dropSet("d16_semantic_dedup_capped")
     println(f"[recall] merge recall (d16 vs d13): " +
-      f"${(c16 & e13).size.toDouble / e13.size}%.4f (${c16.size}/${e13.size}, " +
+      f"${(c16 & e13).size.toDouble / e13.size}%.4f " +
+      f"(${(c16 & e13).size}/${e13.size}, d16 drops ${c16.size}, " +
       s"subset=${c16.subsetOf(e13)})")
     spark.stop()
   }
