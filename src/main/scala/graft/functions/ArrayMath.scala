@@ -127,6 +127,43 @@ case class NearestCellBc(
     copy(left = newLeft, right = newRight)
 }
 
+/** Two-nearest-cells variant of [[NearestCellBc]] for multi-probe
+  * SemDeDup (VERDICT r11 #4): returns `(best << 32) | second` packed in
+  * one long (second == best when the label has a single centroid), both
+  * under the same (dist, cell) lexicographic order as the argmin. One
+  * pass over the same broadcast primitive matrices — the multi-probe
+  * assignment costs the same kernel work as single-probe; the extra cost
+  * is downstream pair volume, measured in SCALE.md. */
+case class Nearest2CellsBc(
+    left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[CentroidTable])
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private lazy val embIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, e: Any): Any =
+    ArrayMath.nearest2CellsIn(l.asInstanceOf[Int],
+      e.asInstanceOf[ArrayData], embIsFloat, bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidsBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, (l, e) => s"""
+      |${ev.value} = graft.functions.ArrayMath.nearest2CellsIn(
+      |  $l, $e, $embIsFloat,
+      |  (graft.functions.CentroidTable) $ref.value());
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Label-indexed centroid table — the broadcast value [[NearestCellBc]]
   * probes. Dense arrays over the label range replace the previous
   * `Map[Int, _]` (VERDICT r11: the per-row Map apply boxed the label on
@@ -207,6 +244,54 @@ object ArrayMath {
       i += 1
     }
     bestI
+  }
+
+  /** Two running (dist, cell)-lexicographic minima in one pass —
+    * [[Nearest2CellsBc]]'s kernel. Packs `(best << 32) | second`;
+    * second == best when the label has one centroid. */
+  def nearest2CellsIn(label: Int, emb: ArrayData, embIsFloat: Boolean,
+      t: CentroidTable): Long = {
+    val cvs = t.vectors(label)
+    val ccs = t.selfDots(label)
+    val d = emb.numElements()
+    if (d != t.dim)
+      throw new IllegalArgumentException(
+        s"embedding dim $d != centroid dim ${t.dim} (label $label)")
+    val e = new Array[Double](d)
+    var j = 0
+    if (embIsFloat) while (j < d) { e(j) = emb.getFloat(j); j += 1 }
+    else while (j < d) { e(j) = emb.getDouble(j); j += 1 }
+    val k = ccs.length
+    var best = Double.PositiveInfinity
+    var bestI = 0
+    var second = Double.PositiveInfinity
+    var secondI = 0
+    var i = 0
+    while (i < k) {
+      var s = 0.0
+      val base = i * d
+      j = 0
+      while (j < d) { s += e(j) * cvs(base + j); j += 1 }
+      val dist = ccs(i) - 2.0 * s
+      if (dist < best) {
+        second = best; secondI = bestI
+        best = dist; bestI = i
+      } else if (dist < second) {
+        second = dist; secondI = i
+      }
+      i += 1
+    }
+    if (k == 1) secondI = bestI
+    (bestI.toLong << 32) | (secondI.toLong & 0xffffffffL)
+  }
+
+  /** Column API for [[Nearest2CellsBc]]. */
+  def nearest2CellsBc(spark: SparkSession, label: Column, emb: Column,
+      bc: org.apache.spark.broadcast.Broadcast[CentroidTable]): Column = {
+    val name = s"graft_nearest2_cells_bc_${bc.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => Nearest2CellsBc(es(0), es(1), bc), "built-in")
+    org.apache.spark.sql.functions.call_function(name, label, emb)
   }
 
   /** Column API for [[NearestCellBc]] (registry slot keyed by broadcast

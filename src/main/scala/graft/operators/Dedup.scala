@@ -406,6 +406,21 @@ object Dedup {
   private def cellAssignmentsRaw(s: SparkSession, d: String): DataFrame = {
     def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
     val e = Tables.embeddings(s, d)
+    val bc = centroidTableBc(s, d)
+    e.withColumn("cell", graft.functions.ArrayMath.nearestCellBc(
+        s, col("label"), col("embedding"), bc))
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  /** The broadcast per-label centroid matrices both the single-probe and
+    * multi-probe assignment kernels read — extracted so the multi-probe
+    * variant quantizes against the IDENTICAL centroids (its recall delta
+    * is then purely the second probe, never centroid drift). */
+  private def centroidTableBc(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidTable] = {
+    def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
+    val e = Tables.embeddings(s, d)
     val k = broadcast(e.groupBy("label")
       .agg(count(lit(1)).as("bn"))
       .select(col("label"), expr("(bn + 63) div 64").as("k")))
@@ -453,11 +468,55 @@ object Dedup {
     val table = graft.functions.CentroidTable.build(centRows.toSeq.map { r =>
       (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
     })
-    val bc = s.sparkContext.broadcast(table)
-    e.withColumn("cell", graft.functions.ArrayMath.nearestCellBc(
-        s, col("label"), col("embedding"), bc))
-      .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    s.sparkContext.broadcast(table)
+  }
+
+  /** Multi-probe assignment (VERDICT r11 #4): every vector joins its TWO
+    * nearest cells, so a pair straddling one cell boundary is recovered
+    * whenever the straddled cell is either side's runner-up. Pair volume
+    * stays linear (per-cell membership ~doubles). Measured by
+    * RecallProbe / SCALE.md; a probe/experiment surface, not one of the
+    * 132 declared queries (their oracle pins single-probe SemDeDup). */
+  private[graft] def cellAssignmentsMulti(s: SparkSession, d: String): DataFrame =
+    ResultMemo.materialized("d16_cells_mp", s, d) {
+      def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
+      val bc = centroidTableBc(s, d)
+      Tables.embeddings(s, d)
+        .withColumn("pk", graft.functions.ArrayMath.nearest2CellsBc(
+          s, col("label"), col("embedding"), bc))
+        .select(col("vec_id"), col("label"),
+          explode(array_distinct(array(
+            shiftright(col("pk"), 32).cast("int"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).cast("int")))).as("cell"),
+          col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    }
+
+  /** d16's candidate pairs under multi-probe assignment. A pair sharing
+    * both probe cells would emit twice — the min-shared-cell filter keeps
+    * exactly one copy without an output-sized distinct. */
+  private[graft] def cappedCosinePairsMulti(s: SparkSession, d: String): DataFrame = {
+    def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
+    val cf = cellAssignmentsMulti(s, d)
+    val a = cf.select(col("vec_id").as("id_a"), col("label"), col("cell"),
+        col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("label"), col("cell"))
+    val b = cf.select(col("vec_id").as("id_b"), col("label"), col("cell"),
+      col("embedding").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label", "cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("raw_cos",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("raw_cos") >= 0.34999949)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        round(col("raw_cos"), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      // dedup the ≤2 shared-cell copies per pair
+      .withColumn("mincell", min(col("cell"))
+        .over(Window.partitionBy(col("id_a"), col("id_b"))))
+      .filter(col("cell") === col("mincell"))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** d16's candidate pairs: exact cosine ≥ 0.35 within each (label, cell)

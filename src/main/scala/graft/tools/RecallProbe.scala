@@ -27,34 +27,50 @@ object RecallProbe {
     val exact = operators.Dedup.defs
       .find(_.name == "d05_embedding_neardup").get.build(spark, d)
       .select(col("id_a"), col("id_b"), col("cos"))
-    val capped = operators.Dedup.cappedCosinePairs(spark, d)
-      .select(col("id_a"), col("id_b"), lit(1).as("kept"))
 
-    val bands = exact.join(capped, Seq("id_a", "id_b"), "left")
-      .withColumn("band", floor(col("cos") * 10) / 10)
-      .groupBy("band")
-      .agg(count(lit(1)).as("exact_pairs"),
-        sum(coalesce(col("kept"), lit(0))).as("capped_pairs"))
-      .orderBy("band")
-      .collect()
-    println(f"[recall] ${"cos band"}%-10s ${"exact"}%8s ${"capped"}%8s recall")
-    var te = 0L; var tc = 0L
-    bands.foreach { r =>
-      val (e, c) = (r.getLong(1), r.getLong(2))
-      te += e; tc += c
-      println(f"[recall] ${r.get(0)}%-10s $e%8d $c%8d ${c.toDouble / e}%.3f")
+    def bandReport(tag: String, pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val kept = pairs.select(col("id_a"), col("id_b"), lit(1).as("kept"))
+      val bands = exact.join(kept, Seq("id_a", "id_b"), "left")
+        .withColumn("band", floor(col("cos") * 10) / 10)
+        .groupBy("band")
+        .agg(count(lit(1)).as("exact_pairs"),
+          sum(coalesce(col("kept"), lit(0))).as("capped_pairs"))
+        .orderBy("band")
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] $tag: ${"cos band"}%-10s ${"exact"}%8s ${"capped"}%8s recall")
+      var te = 0L; var tc = 0L
+      bands.foreach { r =>
+        val (e, c) = (r.getLong(1), r.getLong(2))
+        te += e; tc += c
+        println(f"[recall] $tag: ${r.get(0)}%-10s $e%8d $c%8d ${c.toDouble / e}%.3f")
+      }
+      println(f"[recall] $tag: pair recall TOTAL ${tc.toDouble / te}%.4f " +
+        f"($tc/$te) in $sec%.1f s")
     }
-    println(f"[recall] pair recall TOTAL: ${tc.toDouble / te}%.4f ($tc/$te)")
+    bandReport("1-probe", operators.Dedup.cappedCosinePairs(spark, d))
+    bandReport("2-probe", operators.Dedup.cappedCosinePairsMulti(spark, d))
 
     def dropSet(name: String) = operators.Dedup.defs.find(_.name == name).get
       .build(spark, d).filter(col("keep") === 0)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val e13 = dropSet("d13_semantic_dedup")
     val c16 = dropSet("d16_semantic_dedup_capped")
-    println(f"[recall] merge recall (d16 vs d13): " +
-      f"${(c16 & e13).size.toDouble / e13.size}%.4f " +
-      f"(${(c16 & e13).size}/${e13.size}, d16 drops ${c16.size}, " +
-      s"subset=${c16.subsetOf(e13)})")
+    // multi-probe merge set: connected components over the 2-probe pairs,
+    // keep=0 iff merged into an earlier component root — d16's semantics
+    val c16mp = operators.Dedup.connectedComponents(
+        operators.Dedup.cappedCosinePairsMulti(spark, d)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .filter(col("label") =!= col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    def mergeLine(tag: String, drops: Set[Long]): Unit =
+      println(f"[recall] merge recall ($tag vs d13): " +
+        f"${(drops & e13).size.toDouble / e13.size}%.4f " +
+        f"(${(drops & e13).size}/${e13.size}, drops ${drops.size}, " +
+        s"subset=${drops.subsetOf(e13)})")
+    mergeLine("1-probe d16", c16)
+    mergeLine("2-probe", c16mp)
     spark.stop()
   }
 }

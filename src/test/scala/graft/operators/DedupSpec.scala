@@ -154,6 +154,35 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.9, f"d16 recall collapsed: $recall%.3f < 0.9")
   }
 
+  test("d16: merge recall pinned AT THE OPERATING POINT (sf0.1)") {
+    // VERDICT r11 #4: the sf0.001 pin above guards a corpus where recall
+    // is 1.000 — it cannot fail at the bench SF, where boundary loss is
+    // real. Pin the bench-SF numbers themselves (deterministic: md5-hash
+    // centroid selection, exact kernels): single-probe 0.4293 and
+    // two-probe 0.9589 measured by graft.tools.RecallProbe — floors leave
+    // room for testdata regeneration, not for a quantizer regression
+    // (an assignment bug shreds cliques and reads near zero).
+    val sf01 = "/root/testdata/sf0.1"
+    def drops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val e13 = drops(Dedup.defs.find(_.name == "d13_semantic_dedup").get
+      .build(spark, sf01).filter(col("keep") === 0).select("vec_id"))
+    val c16 = drops(Dedup.defs.find(_.name == "d16_semantic_dedup_capped")
+      .get.build(spark, sf01).filter(col("keep") === 0).select("vec_id"))
+    val mp = drops(Dedup.connectedComponents(
+        Dedup.cappedCosinePairsMulti(spark, sf01)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .filter(col("label") =!= col("id")).select("id"))
+    assert(c16.subsetOf(e13), "1-probe merges must refine d13's")
+    assert(mp.subsetOf(e13), "2-probe merges must refine d13's")
+    val r1 = (c16 & e13).size.toDouble / e13.size
+    val r2 = (mp & e13).size.toDouble / e13.size
+    info(f"sf0.1 merge recall: 1-probe $r1%.4f, 2-probe $r2%.4f")
+    assert(r1 >= 0.35, f"1-probe operating-point recall collapsed: $r1%.4f")
+    assert(r2 >= 0.90, f"2-probe operating-point recall collapsed: $r2%.4f")
+    assert(r2 > r1, "the second probe must strictly improve recall here")
+  }
+
   test("d12: span counts reconcile and the earliest doc keeps its spans") {
     val rows = Dedup.defs.find(_.name == "d12_span_dedup").get
       .build(spark, dir).collect()
