@@ -974,8 +974,15 @@ object Dedup {
             lit(b.toLong << 16))
         val bands = sim.select(col("doc_id"), col("simhash"),
           explode(array(bandExprs: _*)).as("bkey"))
+        // the d16 lesson applied here too: AQE coalesces by INPUT bytes, and
+        // the band rows are small while the bucket-join OUTPUT is quadratic
+        // in bucket occupancy — at sf10 the un-pinned join ran as ONE task
+        // (66 s, plus a 27 s single-task sort-sampling re-run). The pin keeps
+        // the join 32-way; 16-bit band keys hash-spread evenly.
         val a = bands.select(col("doc_id").as("id_a"),
-          col("simhash").as("sh_a"), col("bkey"))
+            col("simhash").as("sh_a"), col("bkey"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"),
           col("simhash").as("sh_b"), col("bkey"))
         // first-match band dedup, row-locally: a pair agreeing in band b is

@@ -380,12 +380,22 @@ object Relational {
               col("l_linenumber").as("ln"),
               concat(col("l_linenumber").cast("string"), lit(":"),
                 col("l_returnflag")).as("s")).as("pair"))
+          // ONE range exchange serves both the agg and the ordered output:
+          // collect_list has no map-side reduction (a partial agg ships every
+          // element anyway), so range-partitioning the INPUT costs the same
+          // shuffle bytes as the hash exchange — but rangepartitioning(key)
+          // satisfies the groupBy's clustering AND the final sort's ordering,
+          // so the plan drops the second exchange and the sort-sampling pass
+          // that re-executed the whole object agg (the q31 double-run).
+          .repartitionByRange(
+            s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("l_orderkey"))
           .groupBy("l_orderkey")
           .agg(array_sort(collect_list(col("pair"))).as("pairs"))
           .select(
             col("l_orderkey"),
             array_join(expr("transform(pairs, p -> p.s)"), "|").as("items"))
-          .orderBy("l_orderkey")),
+          .sortWithinPartitions("l_orderkey")),
 
     // ---------------------------------------------------------------- Q13
     QueryDef(
