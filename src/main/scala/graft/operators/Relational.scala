@@ -44,6 +44,97 @@ object Relational {
 
   private val fmtTs = "yyyy-MM-dd HH:mm:ss"
 
+  /** Sketch-bracketed two-pass EXACT interpolated percentiles (q31's
+    * engine; property-pinned in PercentileSpec against brute-force
+    * interpolation):
+    *
+    *   pass 1: per group, n and one percentile_approx sketch (mergeable GK
+    *     summary, map-side partial, rank error ≤ n/acc) bracketing every
+    *     target p with data values at p ± 5/acc;
+    *   pass 2: per group, an exact count(v < a_i) in a pure CODEGEN
+    *     HashAggregate over the full scan, plus a sorted collect of ONLY
+    *     the in-bracket slice (≤ ~10n/acc rows — the collect is what would
+    *     otherwise drag the whole corpus-sized agg onto the non-codegen
+    *     ObjectHashAggregate path, so it runs as a second, pre-filtered
+    *     aggregation);
+    *   selection: ranks are contiguous, so the row ranked r is element
+    *     (r − count_below) of the sorted slice — EXACT regardless of sketch
+    *     error, duplicates included — and quantile_cont's formula
+    *     v_lo + frac·(v_hi − v_lo) interpolates the neighbors at
+    *     floor/ceil(p·(n−1))+1, rounded to 4 dp.
+    *
+    * Fully parallel (no per-group sort anywhere — the rank-window
+    * alternative serializes one task per group: 40 s vs 11.5 s at sf10);
+    * per-task state is the sketch / the slice, both bounded and
+    * accuracy-tunable. Expects (g, v) columns, v non-null; returns one row
+    * per g with columns q0..q{ps.size-1} in ps order, NOT globally sorted
+    * (callers choose their sort — see q31's no-global-orderBy note). */
+  private[graft] def bracketedPercentiles(gv: DataFrame, ps: Seq[Double],
+      acc: Int = 10000): DataFrame = {
+    // sketch rank error is n/acc; 5x margin makes the bracket provably
+    // contain the target ranks with room for the ±1 edge effects
+    val margin = 5.0 / acc
+    val li = gv.select(col("g"), col("v"))
+    val bracketPs = ps.flatMap(p =>
+      Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)))
+    val brackets = li.groupBy("g").agg(
+        count(col("v")).as("n"),
+        percentile_approx(col("v"),
+          array(bracketPs.map(lit): _*), lit(acc)).as("qs"))
+      .select(col("g").as("bg") +: col("n") +:
+        ps.indices.flatMap(i => Seq(
+          col("qs").getItem(2 * i).as(s"a$i"),
+          col("qs").getItem(2 * i + 1).as(s"b$i"))): _*)
+    def h(p: Double)    = lit(p) * (col("n") - 1).cast("double")
+    def loRk(p: Double) = floor(h(p)).cast("long") + 1
+    def frac(p: Double) = h(p) - floor(h(p))
+    def hiRk(p: Double) =
+      when(frac(p) > 0, loRk(p) + 1).otherwise(loRk(p))
+    val joined = li.join(broadcast(brackets), col("g") === col("bg"))
+    // prevA/nextB are the ±1-rank repair values: percentile_approx ranks on
+    // an n basis (⌈q·n⌉ + sketch error) while quantile_cont's neighbors live
+    // on the (n−1) basis, so for small groups the bracket can miss the
+    // target rank by EXACTLY ONE position on either side (GK bounds cap the
+    // miss at 1: below ≤ (p−4ε)n keeps idx_lo ≥ 0, rank_max(b) ≥ (p+4ε)n
+    // keeps idx_hi ≤ |slice|+1). The largest value below the bracket and
+    // the smallest above it — computed in the SAME codegen aggregate as the
+    // counts — are precisely the values at those two escaped ranks.
+    val below = joined.groupBy("g").agg(
+      first(col("n")).as("n"),
+      ps.indices.flatMap(i => Seq(
+        sum(when(col("v") < col(s"a$i"), 1L).otherwise(0L))
+          .as(s"below$i"),
+        max(when(col("v") < col(s"a$i"), col("v"))).as(s"prevA$i"),
+        min(when(col("v") > col(s"b$i"), col("v"))).as(s"nextB$i"))): _*)
+    val slices = joined
+      .filter(ps.indices
+        .map(i => col("v").between(col(s"a$i"), col(s"b$i")))
+        .reduce(_ || _))
+      .groupBy("g")
+      .agg(
+        sort_array(collect_list(
+          when(col("v").between(col("a0"), col("b0")), col("v"))))
+          .as("slice0"),
+        ps.indices.drop(1).map(i =>
+          sort_array(collect_list(
+            when(col("v").between(col(s"a$i"), col(s"b$i")), col("v"))))
+            .as(s"slice$i")): _*)
+    val picked = below.join(slices, "g")
+    // idx == 0 → the rank escaped one below the bracket (prevA); idx ==
+    // |slice|+1 → one above (nextB); the when() keeps element_at inside a
+    // lazily-evaluated branch so the impossible indexes are never touched
+    def pick(i: Int, idx: Column) =
+      when(idx === 0, col(s"prevA$i"))
+        .when(idx === size(col(s"slice$i")).cast("long") + 1,
+          col(s"nextB$i"))
+        .otherwise(element_at(col(s"slice$i"), idx.cast("int")))
+    ps.zipWithIndex.foldLeft(picked) { case (df, (p, i)) =>
+      val vLo = pick(i, loRk(p) - col(s"below$i"))
+      val vHi = pick(i, hiRk(p) - col(s"below$i"))
+      df.withColumn(s"q$i", round(vLo + frac(p) * (vHi - vLo), 4))
+    }.select(col("g") +: ps.indices.map(i => col(s"q$i")): _*)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------------- Q01
     QueryDef(
@@ -487,32 +578,12 @@ object Relational {
           .orderBy("l_returnflag")),
 
     // engine-completeness: exact interpolated percentiles (both engines use
-    // linear interpolation; rounded to 4dp for float stability).
-    //
-    // NOT Spark's `percentile` aggregate: that buffers EVERY value of a group
-    // in one ObjectHashAggregate map and merges those maps single-threaded —
-    // per-group state is O(distinct values), so one hot group at 100 TB is
-    // tens of millions of entries in a single task's heap (4.25 s at sf0.1,
-    // 106x DuckDB — the suite's one scale-killer before this form landed).
-    //
-    // Sketch-bracketed two-pass exact percentile instead — fully parallel,
-    // no per-group sort at all (a row_number window form was measured as the
-    // middle step: bounded state but ONE task per group, 40 s at sf10 vs
-    // this form's parallel scans; at 100 TB a group is billions of rows and
-    // a per-group sort task is days):
-    //   pass 1: per group, n and a percentile_approx sketch (mergeable
-    //     GK summary, map-side partial, rank error ≤ n/ACC) bracketing each
-    //     interpolation target p with data values at p ± MARGIN;
-    //   pass 2: per group, count(v < a) and collect ONLY the in-bracket
-    //     slice (≤ ~2·MARGIN·n values ≈ n/1000 at these constants — tune
-    //     ACC up as n grows); ranks are contiguous, so the row ranked r is
-    //     the (r - count_below)-th element of the sorted slice — exact
-    //     selection regardless of sketch error, duplicates included;
-    //   then quantile_cont's formula v_lo + frac·(v_hi − v_lo) on the two
-    //   neighbors at floor/ceil(p·(n−1))+1.
-    // Both passes are codegen-friendly scans with 32-way parallel partial
-    // aggregation; per-task state is the sketch / the bracket slice — both
-    // bounded and accuracy-tunable.
+    // linear interpolation; rounded to 4dp for float stability). NOT Spark's
+    // `percentile` aggregate — that buffers EVERY group value in one
+    // ObjectHashAggregate map merged single-threaded (4.25 s at sf0.1, 106x
+    // DuckDB, O(values) per-task heap — the suite's one scale-killer before
+    // r12). The engine is bracketedPercentiles above: sketch-bracketed,
+    // two-pass, exact, fully parallel.
     QueryDef(
       "q31_percentiles",
       covers = "engine-complete (A10 family)",
@@ -521,70 +592,20 @@ object Relational {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      build = (s, d) => {
-        val ps  = Seq(0.5, 0.9)
-        val acc = 10000
-        // sketch rank error is n/acc; 5x margin makes the bracket provably
-        // contain the target ranks with room for the ±1 edge effects
-        val margin = 5.0 / acc
-        val li = Tables.lineitem(s, d)
-          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-        val bracketPs = ps.flatMap(p =>
-          Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)))
-        val brackets = li.groupBy("g").agg(
-            count(col("v")).as("n"),
-            percentile_approx(col("v"),
-              array(bracketPs.map(lit): _*), lit(acc)).as("qs"))
-          .select(col("g").as("bg") +: col("n") +:
-            ps.zipWithIndex.flatMap { case (p, i) => Seq(
-              col("qs").getItem(2 * i).as(s"a$i"),
-              col("qs").getItem(2 * i + 1).as(s"b$i")) }: _*)
-        def h(p: Double)    = lit(p) * (col("n") - 1).cast("double")
-        def loRk(p: Double) = floor(h(p)).cast("long") + 1
-        def frac(p: Double) = h(p) - floor(h(p))
-        def hiRk(p: Double) =
-          when(frac(p) > 0, loRk(p) + 1).otherwise(loRk(p))
-        val joined = li.join(broadcast(brackets), col("g") === col("bg"))
-        // split pass 2: collect_list would force the WHOLE corpus-sized agg
-        // onto the non-codegen ObjectHashAggregate path (measured 14.6 s of
-        // 18 at sf10). Below-counts stay a pure codegen HashAggregate over
-        // the full scan; the object-path collect only ever sees the
-        // pre-filtered in-bracket slice (~n/1000 rows).
-        val below = joined.groupBy("g").agg(
-          first(col("n")).as("n"),
-          ps.indices.map(i =>
-            sum(when(col("v") < col(s"a$i"), 1L).otherwise(0L))
-              .as(s"below$i")): _*)
-        val slices = joined
-          .filter(ps.indices
-            .map(i => col("v").between(col(s"a$i"), col(s"b$i")))
-            .reduce(_ || _))
-          .groupBy("g")
-          .agg(
-            sort_array(collect_list(
-              when(col("v").between(col("a0"), col("b0")), col("v"))))
-              .as("slice0"),
-            ps.indices.drop(1).map(i =>
-              sort_array(collect_list(
-                when(col("v").between(col(s"a$i"), col(s"b$i")), col("v"))))
-                .as(s"slice$i")): _*)
-        val picked = below.join(slices, "g")
-        val out = ps.zipWithIndex.foldLeft(picked) { case (df, (p, i)) =>
-          val vLo = element_at(col(s"slice$i"),
-            (loRk(p) - col(s"below$i")).cast("int"))
-          val vHi = element_at(col(s"slice$i"),
-            (hiRk(p) - col(s"below$i")).cast("int"))
-          df.withColumn(s"q$i", round(vLo + frac(p) * (vHi - vLo), 4))
-        }
-        out.select(col("g").as("l_returnflag"), col("q0").as("p50"),
+      build = (s, d) =>
+        bracketedPercentiles(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag").as("g"),
+              col("l_extendedprice").as("v")),
+          Seq(0.5, 0.9))
+          .select(col("g").as("l_returnflag"), col("q0").as("p50"),
             col("q1").as("p90"))
           // NOT a global orderBy: rangepartitioning's boundary-sampling pass
           // re-executes the un-materialized agg stage (measured: the whole
           // query ran twice). One row per group key: single-partition local
           // sort gives total order with no sampling pass.
           .repartition(1)
-          .sortWithinPartitions("l_returnflag")
-      }),
+          .sortWithinPartitions("l_returnflag")),
 
     // engine-completeness: pivot = conditional aggregation
     QueryDef(
