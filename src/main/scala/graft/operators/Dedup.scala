@@ -972,17 +972,20 @@ object Dedup {
         val bandExprs = (0 until 4).map(b =>
           shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)) +
             lit(b.toLong << 16))
-        val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(array(bandExprs: _*)).as("bkey"))
         // the d16 lesson applied here too: AQE coalesces by INPUT bytes, and
         // the band rows are small while the bucket-join OUTPUT is quadratic
         // in bucket occupancy — at sf10 the un-pinned join ran as ONE task
         // (66 s, plus a 27 s single-task sort-sampling re-run). The pin keeps
-        // the join 32-way; 16-bit band keys hash-spread evenly.
-        val a = bands.select(col("doc_id").as("id_a"),
-            col("simhash").as("sh_a"), col("bkey"))
+        // the join 32-way; 16-bit band keys hash-spread evenly. Pinning the
+        // SHARED bands frame (not one side) lets the self-join's second
+        // branch read the SAME exchange (ReusedExchange) — one shuffle of
+        // the band rows total, co-partitioned join, no per-side exchange.
+        val bands = sim.select(col("doc_id"), col("simhash"),
+            explode(array(bandExprs: _*)).as("bkey"))
           .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
             col("bkey"))
+        val a = bands.select(col("doc_id").as("id_a"),
+          col("simhash").as("sh_a"), col("bkey"))
         val c = bands.select(col("doc_id").as("id_b"),
           col("simhash").as("sh_b"), col("bkey"))
         // first-match band dedup, row-locally: a pair agreeing in band b is
@@ -1003,7 +1006,16 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
           .filter(col("hamming") <= 16)
-          .orderBy("id_a", "id_b")
+          // explicit range repartition + local sort instead of orderBy: the
+          // pair output is ~1.7M rows at sf0.1 but few enough BYTES that
+          // AQE coalesces a plain orderBy's range exchange to ONE sort task
+          // (measured 1.4 s of the query); a user repartition is never
+          // coalesced, so the sort stays 32-way at every SF — same total
+          // order, same boundary-sampling cost.
+          .repartitionByRange(
+            s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("id_a"), col("id_b"))
+          .sortWithinPartitions("id_a", "id_b")
       }),
 
     // ------------------------------------------------------------ embedding cosine
