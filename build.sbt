@@ -52,31 +52,46 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spark.local.dir, i.e. shuffle files and disk spills — and since the
   // r11 A/B (17-21% floor shift, see below) shuffle deliberately RIDES
   // this tmpfs default. SPARK_GRAFT_LOCAL_DIR is the disk escape hatch
-  // for runs whose spill volume rivals physical RAM. The stale graft-tmp
-  // of a previous (possibly killed) run is deleted at sbt load — safe
-  // under the measurement discipline of never running two graft JVMs
-  // concurrently.
+  // for runs whose spill volume rivals physical RAM.
+  //
+  // Each sbt invocation gets its OWN run-<pid> subdir, and reclaim only
+  // ever touches run-<pid> dirs whose stamping sbt process is dead. The
+  // old scheme (one shared dir, wiped whole at every sbt load) deleted
+  // shuffle files out from under any STILL-RUNNING sibling JVM — a
+  // concurrent `sbt runMain` didn't just skew a measurement, it killed
+  // the other run with FileNotFoundException mid-stage (observed r12:
+  // a profile run wiped a live Verify's blockmgr dirs).
   {
-    val d = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+    val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
       if (file("/dev/shm").isDirectory) "/dev/shm/graft-tmp" else "")
-    if (d.nonEmpty) {
-      val dir = file(d)
-      val marker = dir / ".graft-tmp"
-      // Only reclaim a dir named graft-tmp that THIS build previously
-      // stamped (marker present): a recursive delete of an arbitrary
-      // user-supplied path — /tmp, a shared scratch dir — would silently
-      // wipe unrelated data (ADVICE r10, medium). The basename guard is
-      // load-bearing ON TOP of the marker, and the marker itself is only
-      // stamped on a dir this build CREATED (ADVICE r11: stamping a
-      // pre-existing user dir that happens to be named graft-tmp would
-      // make it — user data included — deletable on the next load). A
-      // fresh or foreign dir is used as-is, never stamped, never wiped.
-      val hadMarker = marker.exists
-      if (dir.getName == "graft-tmp" && hadMarker) IO.delete(dir)
-      val created = !dir.exists
+    if (base.nonEmpty) {
+      val parent = file(base)
+      // Legacy layout migration: the pre-r12 scheme stamped the parent
+      // itself (marker = we created it, per ADVICE r10/r11 — never wipe
+      // a pre-existing user dir). Reclaim it wholesale ONCE, then rebuild
+      // as the container for per-run subdirs.
+      if (parent.getName == "graft-tmp" && (parent / ".graft-tmp").exists)
+        IO.delete(parent)
+      IO.createDirectory(parent)
+      // Reap per-run dirs stamped by a previous build whose sbt process
+      // is gone (killed runs, crashed boxes). A live pid — ANY live pid,
+      // to stay conservative across pid reuse — is never touched, so
+      // concurrent sbt sessions can no longer corrupt each other. Only
+      // dirs both named run-<digits> AND carrying our marker qualify:
+      // foreign files in a user-supplied SPARK_GRAFT_TMPDIR are never
+      // deleted.
+      Option(parent.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+        val pid = f.getName.stripPrefix("run-")
+        if (f.isDirectory && f.getName.startsWith("run-") &&
+            pid.nonEmpty && pid.forall(_.isDigit) &&
+            (f / ".graft-tmp").exists &&
+            !ProcessHandle.of(pid.toLong).isPresent)
+          IO.delete(f)
+      }
+      val dir = parent / s"run-${ProcessHandle.current().pid()}"
+      val d = dir.getAbsolutePath
       IO.createDirectory(dir)
-      if (dir.getName == "graft-tmp" && (created || hadMarker))
-        IO.touch(marker)
+      IO.touch(dir / ".graft-tmp")
       // spark.local.dir (shuffle files + disk spills) FOLLOWS java.io.tmpdir
       // — i.e. shuffle rides the tmpfs default. The r10 pin back to /tmp
       // was A/B'd this round (ScaleBench heavy15 sf0.1, A-B-A-B interleaved
