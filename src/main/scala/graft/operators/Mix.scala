@@ -362,50 +362,55 @@ object Mix {
       build = (s, d) => {
         val docs = Tables.documents(s, d)
         val wb = docs
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id"), col("lang"), col("source"),
             explode(split(lower(col("text")), " ")).as("tok"))
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id"), col("lang"), col("source"),
             pmod(conv(substring(md5(concat(lit("x9|"), col("tok"))
               .cast("binary")), 1, 8), 16, 10).cast("long"), lit(64)).as("b"))
         // ONE corpus explode feeds everything: the (doc, lang, bucket)
-        // aggregation's exchange is shared by all four consumers below
-        // (ReuseExchange), so the token scan + md5 kernel runs once, and
-        // the distribution/weight aggregates read ≤64·|docs| compact rows
-        // lazy-checkpointed: Catalyst only reuses identical exchanges, and
-        // the four consumers aggregate db differently — without the cut the
-        // token explode + md5 kernel re-runs per consumer (12-scan plan)
-        val db = wb.groupBy("doc_id", "lang", "b")
+        // aggregation's exchange is shared by all consumers below — the
+        // token scan + md5 kernel runs once, and the distribution/weight
+        // aggregates read ≤64·|docs| compact rows. Lazy-checkpointed:
+        // Catalyst only reuses identical exchanges, and the consumers
+        // aggregate db differently — without the cut the token explode +
+        // md5 kernel re-runs per consumer (12-scan plan). source/lang ride
+        // the key (functionally dependent on doc_id) so the top-50 output
+        // needs no second corpus scan.
+        val db = wb.groupBy("doc_id", "lang", "source", "b")
           .agg(count(lit(1)).as("n_b"))
           .localCheckpoint(false)
-        val sCnt = db.groupBy("b").agg(sum(col("n_b")).cast("long").as("s_n"))
-        val tCnt = db.filter(col("lang") === "en")
-          .groupBy("b").agg(sum(col("n_b")).cast("long").as("t_n"))
-        val tots = db.agg(sum(col("n_b")).cast("long").as("s_tot"),
-          sum(when(col("lang") === "en", col("n_b")).otherwise(0L))
-            .cast("long").as("t_tot"))
-        val wt = sCnt.join(tCnt, Seq("b"), "left")
+        // Both per-bucket distributions in ONE pass over db (the en slice
+        // as a conditional sum), then totals from the 64-row frame itself —
+        // one db-wide aggregation instead of three.
+        val perB = db.groupBy("b")
+          .agg(sum(col("n_b")).cast("long").as("s_n"),
+            sum(when(col("lang") === "en", col("n_b")).otherwise(0L))
+              .cast("long").as("t_n"))
+          .localCheckpoint(false)
+        val tots = perB.agg(sum(col("s_n")).cast("long").as("s_tot"),
+          sum(col("t_n")).cast("long").as("t_tot"))
+        val wt = perB
           .crossJoin(broadcast(tots))
           .select(col("b"),
             round(lit(1000) * log(
-              ((coalesce(col("t_n"), lit(0L)) + 1) * 1.0 / (col("t_tot") + 64)) /
+              ((col("t_n") + 1) * 1.0 / (col("t_tot") + 64)) /
               ((col("s_n") + 1) * 1.0 / (col("s_tot") + 64))))
               .cast("long").as("w_milli"))
         val sc = db
           .join(broadcast(wt), "b")
           .groupBy("doc_id")
           .agg(sum(col("n_b") * col("w_milli")).cast("long").as("score_milli"),
-            sum(col("n_b")).cast("long").as("n_tok"))
+            sum(col("n_b")).cast("long").as("n_tok"),
+            max(col("source")).as("source"), max(col("lang")).as("lang"))
         val top = sc.orderBy(col("score_milli").desc, col("doc_id")).limit(50)
         val before = top.select(col("doc_id").as("id2"),
           col("score_milli").as("sc2"))
-        val ranked = top.join(broadcast(before),
+        top.join(broadcast(before),
             col("sc2") > col("score_milli") ||
               (col("sc2") === col("score_milli") &&
                 col("id2") < col("doc_id")), "left")
-          .groupBy("doc_id", "score_milli", "n_tok")
+          .groupBy("doc_id", "score_milli", "n_tok", "source", "lang")
           .agg((count(col("id2")) + 1).as("rn"))
-        docs.select("doc_id", "source", "lang")
-          .join(broadcast(ranked), "doc_id")
           .select("rn", "doc_id", "source", "lang", "n_tok", "score_milli")
           .orderBy("rn")
       }),

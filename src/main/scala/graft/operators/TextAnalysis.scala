@@ -439,7 +439,15 @@ object TextAnalysis {
         val docs = Tables.documents(s, d)
         val w = docs.select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok"))
-        val wd = w.groupBy("doc_id", "tok").agg(count(lit(1)).as("tfd"))
+        // ONE explicit doc-keyed exchange serves the whole chain: hash
+        // partitioning on doc_id satisfies the (doc_id, tok) aggregation's
+        // clustering (subset rule), the dl window, AND the top-k window —
+        // the planner's default would shuffle hash(doc_id, tok) for the
+        // agg and then reshuffle hash(doc_id) for the windows. Per-doc
+        // groups are bounded by document length, so doc-hash partitioning
+        // carries no skew risk at any corpus size.
+        val wd = w.repartition(col("doc_id"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfd"))
         val v = vocabFrame(s, d).select(col("tok"), col("df"))
         val st = wd.agg(sum(col("tfd")).as("sum_dl"))
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
