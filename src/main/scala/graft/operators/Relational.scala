@@ -269,10 +269,16 @@ object Relational {
         FROM orders JOIN customer ON o_custkey = c_custkey
         ORDER BY o_orderkey"""),
       build = (s, d) =>
+        // same fact-side range layout as q08: the sort's sampling re-runs
+        // only the pruned orders scan, never the join
         Tables.orders(s, d)
-          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_custkey")
+          .repartitionByRange(col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
           .select("o_orderkey", "c_name", "c_mktsegment")
-          .orderBy("o_orderkey")),
+          .sortWithinPartitions("o_orderkey")),
 
     // ---------------------------------------------------------------- Q08
     // Dimension re-key (the bibkey→index citation rewrite, J2/J3): the small
@@ -285,11 +291,20 @@ object Relational {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         ORDER BY l_orderkey, l_linenumber"""),
       build = (s, d) =>
+        // range-partition the FACT side before the broadcast join: a global
+        // orderBy above the join would re-run the whole join for range-
+        // boundary sampling (the q31/q12 double-run lesson) and AQE would
+        // coalesce the sort by its input bytes; this way sampling re-runs
+        // only the pruned scan, the join output inherits the range layout,
+        // and the local sort stays parallel at every SF — identical total
+        // order
         Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
           .join(broadcast(Tables.part(s, d)),
             col("l_partkey") === col("p_partkey"))
           .select("l_orderkey", "l_linenumber", "p_name")
-          .orderBy("l_orderkey", "l_linenumber")),
+          .sortWithinPartitions("l_orderkey", "l_linenumber")),
 
     // ---------------------------------------------------------------- Q09
     QueryDef(
@@ -637,13 +652,18 @@ object Relational {
           FROM orders)
         WHERE rn <= 3 ORDER BY o_custkey, rn"""),
       build = (s, d) => {
+        // one range exchange serves the window's clustering AND the output
+        // order (subset rule) — a trailing orderBy would range-shuffle a
+        // second time and re-run the window for boundary sampling
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .repartitionByRange(col("o_custkey"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("o_custkey", "rn", "o_orderkey")
-          .orderBy("o_custkey", "rn")
+          .sortWithinPartitions("o_custkey", "rn")
       }),
 
     // ---------------------------------------------------------------- Q17

@@ -439,14 +439,17 @@ object TextAnalysis {
         val docs = Tables.documents(s, d)
         val w = docs.select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok"))
-        // ONE explicit doc-keyed exchange serves the whole chain: hash
-        // partitioning on doc_id satisfies the (doc_id, tok) aggregation's
-        // clustering (subset rule), the dl window, AND the top-k window —
-        // the planner's default would shuffle hash(doc_id, tok) for the
-        // agg and then reshuffle hash(doc_id) for the windows. Per-doc
-        // groups are bounded by document length, so doc-hash partitioning
+        // ONE explicit doc-keyed RANGE exchange serves the whole chain:
+        // range partitioning on doc_id satisfies the (doc_id, tok)
+        // aggregation's clustering (subset rule), the dl window, the top-k
+        // window, AND the output order — the planner's default would
+        // shuffle hash(doc_id, tok) for the agg, reshuffle hash(doc_id)
+        // for the windows, then range-shuffle a third time for the sort
+        // (whose boundary sampling would re-run the whole BM25 pipeline).
+        // Its own sampling re-runs only the token explode. Per-doc groups
+        // are bounded by document length, so doc-keyed partitioning
         // carries no skew risk at any corpus size.
-        val wd = w.repartition(col("doc_id"))
+        val wd = w.repartitionByRange(col("doc_id"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tfd"))
         val v = vocabFrame(s, d).select(col("tok"), col("df"))
         val st = wd.agg(sum(col("tfd")).as("sum_dl"))
@@ -469,7 +472,7 @@ object TextAnalysis {
               .orderBy(col("bm25").desc, col("tok"))))
           .filter(col("rn") <= 5)
           .select("doc_id", "rn", "tok", "tfd", "bm25")
-          .orderBy("doc_id", "rn")
+          .sortWithinPartitions("doc_id", "rn")
       }),
 
     // ------------------------------------------- bigram-LM quality scoring
