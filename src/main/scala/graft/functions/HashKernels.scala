@@ -190,7 +190,13 @@ object HashKernels {
   }
 
   /** 64-bit SimHash over distinct whitespace tokens (xxhash64 seed 42). */
-  def simhash64(text: UTF8String): Long = {
+  def simhash64(text: UTF8String): Long = simhash64Seeded(text, 42L)
+
+  /** [[simhash64]] with a caller-chosen xxhash64 seed: independent seeds
+    * give independent 64-bit words, which is how BandProbe composes the
+    * 128-bit signatures behind d04's documented wide-band scale escape
+    * (SCALE.md) without a second kernel shape. */
+  def simhash64Seeded(text: UTF8String, seed: Long): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val counts = new Array[Int](64)
@@ -198,7 +204,7 @@ object HashKernels {
     while (i < toks.length) {
       if (seen.add(toks(i))) {
         val h = XxHash64Function.hash(
-          UTF8String.fromString(toks(i)), StringType, 42L)
+          UTF8String.fromString(toks(i)), StringType, seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -388,6 +394,19 @@ object HashKernels {
         ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
         c => s"graft.functions.HashKernels.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class SimHash64SeededExpr(child: Expression, seed: Long)
+    extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(t: Any): Any =
+      simhash64Seeded(t.asInstanceOf[UTF8String], seed)
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.simhash64Seeded($c, ${seed}L)")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -613,6 +632,13 @@ object HashKernels {
     val name = "graft_simhash64_md5"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => SimHash64Md5Expr(es.head), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  def simhash64SeededCol(spark: SparkSession, c: Column, seed: Long): Column = {
+    val name = s"graft_simhash64_s$seed"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => SimHash64SeededExpr(es.head, seed), "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
   }
 }

@@ -926,9 +926,14 @@ object Dedup {
     // 64-bit SimHash; candidates = equal 16-bit band + Hamming ≤ 16. Bit
     // source is the first 8 bytes of md5(token) — the same value DuckDB
     // derives from substr(md5(x),1,16), so the WHOLE pipeline (signature →
-    // bands → hamming verify) is oracle-checked. The xxhash64 kernel
-    // (HashKernels.simhash64) is the drop-in scale path: identical
-    // dataflow, cheaper per token, no cross-engine twin.
+    // bands → hamming verify) is oracle-checked. Scale regime: 16-bit band
+    // keys accrue uniform-collision candidates at 4·n²/2¹⁷ (measured
+    // tracking the model through sf10 — BandProbe / SCALE.md §third
+    // sweep), so past n~10⁷ the MEASURED escape is 32-bit bands over a
+    // longer xxhash64 signature with band count sized to the recall
+    // target (~54×32 holds this form's 0.95 tight-pair recall at 2¹²
+    // less junk; naive widening alone keeps only 0.22-0.30 — see the
+    // probe before deploying).
     QueryDef(
       "d04_simhash_pairs",
       covers = "X5 north-star",

@@ -144,6 +144,17 @@ class HashKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64Seeded: seed 42 == simhash64; distinct seeds decorrelate") {
+    docs.take(3).foreach { doc =>
+      val u = UTF8String.fromString(doc)
+      assert(HashKernels.simhash64Seeded(u, 42L) == HashKernels.simhash64(u))
+      // independent seeds must give a genuinely different word (BandProbe
+      // composes them into the wide signatures of d04's measured escape)
+      assert(HashKernels.simhash64Seeded(u, 43L) != HashKernels.simhash64(u),
+        s"doc='${doc.take(40)}...'")
+    }
+  }
+
   test("simhash64Md5 == naive md5-prefix majority vote") {
     docs.take(3).foreach { doc =>
       val toks = doc.split(" ", -1).distinct
