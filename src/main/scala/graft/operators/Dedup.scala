@@ -417,7 +417,7 @@ object Dedup {
     * multi-probe assignment kernels read — extracted so the multi-probe
     * variant quantizes against the IDENTICAL centroids (its recall delta
     * is then purely the second probe, never centroid drift). */
-  private def centroidTableBc(s: SparkSession, d: String)
+  private[graft] def centroidTableBc(s: SparkSession, d: String)
       : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidTable] = {
     def dot(x: Column, y: Column) = graft.functions.ArrayMath.dot(s, x, y)
     val e = Tables.embeddings(s, d)
@@ -1300,9 +1300,17 @@ object Dedup {
     // Scale shape: centroid selection is a salted two-level top-k per label
     // (x08's pattern — no reducer ranks a full block) over n/64 surviving
     // rows; assignment joins each vector against ITS label's broadcast
-    // centroid array and argmins in one codegen pass (at extreme scale the
-    // per-label array itself would shard IVF-style — documented limit, the
-    // array is n/64 × 64 floats); the pair join's (label, cell) key has
+    // centroid array and argmins in one codegen pass. The argmin's
+    // n·k·dim work is the one quadratic term (k = n/64); both mitigations
+    // are MEASURED at the 2M-vector corpus by graft.tools.IvfProbe
+    // (SCALE.md §third sweep): capping k (prefix of the same md5 rank)
+    // holds the merged OUTPUT at 0.998 recall while making assignment
+    // linear (10.7 → 3.6 s; pair pass absorbs the cost, distributed),
+    // and the two-level IvfIndex at nprobe=16 holds 0.993 at 6.3 s —
+    // per-PAIR overlap is far lower (0.35-0.67), but the drop set is a
+    // function of the pair GRAPH and dup cliques stay spanned. Prefer
+    // cap-k: recall direction is up, and the pair pass is the work Spark
+    // distributes best; the pair join's (label, cell) key has
     // n/64 distinct values, so the quadratic work distributes by KEY
     // CARDINALITY and needs no triangle bucketing; components reuse the
     // d09 star loop. The repartition pin mirrors d05: AQE coalesces by
