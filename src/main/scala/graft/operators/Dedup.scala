@@ -929,11 +929,13 @@ object Dedup {
     // bands → hamming verify) is oracle-checked. Scale regime: 16-bit band
     // keys accrue uniform-collision candidates at 4·n²/2¹⁷ (measured
     // tracking the model through sf10 — BandProbe / SCALE.md §third
-    // sweep), so past n~10⁷ the MEASURED escape is 32-bit bands over a
-    // longer xxhash64 signature with band count sized to the recall
-    // target (~54×32 holds this form's 0.95 tight-pair recall at 2¹²
-    // less junk; naive widening alone keeps only 0.22-0.30 — see the
-    // probe before deploying).
+    // sweep), so past n~10⁷ the MEASURED escape is wider keys over a
+    // longer xxhash64 signature, with band count as a diminishing-returns
+    // recall dial: 12×24-bit holds 0.65-0.69 of tight pairs at 2¹⁰ less
+    // junk and same cost; 48×32-bit holds 0.81-0.84 junk-free but pays
+    // 4-14× wall in band-exchange row width; naive widening alone keeps
+    // only 0.22-0.30. Full frontier in the probe — run it before
+    // deploying.
     QueryDef(
       "d04_simhash_pairs",
       covers = "X5 north-star",

@@ -46,7 +46,7 @@ object BandProbe {
       bands: Seq[(Int, Int, Int)])
 
   /** xx word names in seed order (seed = 42 + index). */
-  private val XxWords = Seq("xa", "xb", "xc", "xd", "xe", "xf")
+  private val XxWords = (0 until 24).map(i => f"x$i%02d")
 
   val schemes: Seq[Scheme] = Seq(
     Scheme("a16x4_md5", Seq("m"), (0 until 4).map(b => (0, 16 * b, 16))),
@@ -60,8 +60,19 @@ object BandProbe {
     // is p^width — more independent bands is the only dial that raises it
     // at fixed width). 12×32 needs a 384-bit signature: six xx words, one
     // kernel pass each, still cheaper than one md5 word per token.
-    Scheme("e32x12_xx", XxWords,
-      (0 until 12).map(b => (b / 2, 32 * (b % 2), 32))))
+    Scheme("e32x12_xx", XxWords.take(6),
+      (0 until 12).map(b => (b / 2, 32 * (b % 2), 32))),
+    // the recall-parity point: 48×32 bands over a 1,536-bit signature —
+    // the measured test of "band count recovers the declared banding's
+    // tight recall at zero junk" (24 kernel words: linear scan-side cost,
+    // the price is band-exchange row width)
+    Scheme("f32x48_xx", XxWords,
+      (0 until 48).map(b => (b / 2, 32 * (b % 2), 32))),
+    // the middle width: 24-bit keys push the junk term to n²·B/2²⁵
+    // (10³× less than 16-bit) at a far gentler per-band recall price
+    // than 32-bit — the measured sweet spot for 10⁷-10⁸-doc corpora
+    Scheme("g24x12_xx", XxWords.take(6),
+      (0 until 12).map(b => (b / 2, 24 * (b % 2), 24))))
 
   private def slice(word: Column, off: Int, width: Int): Column = {
     val mask = if (width == 64) -1L else (1L << width) - 1L
@@ -79,16 +90,22 @@ object BandProbe {
 
     // one signature frame shared by every scheme, materialized before any
     // timing: the md5 word is the truth predicate's input, the xxhash
-    // words are the scale kernel's (cheaper per token, no oracle twin)
+    // words are the scale kernel's (cheaper per token, no oracle twin).
+    // Only the words the SELECTED schemes band over are computed — the
+    // 48-band scheme's 24 words would otherwise tax every probe run.
+    val neededXx = schemes.filter(s => only(s.name))
+      .flatMap(_.words).distinct.filter(_ != "m")
+      .sortBy(w => XxWords.indexOf(w))
     val sig = Tables.documents(spark, d)
       .select(col("doc_id") +:
         HashKernels.simhash64Md5Col(spark, col("text")).as("m") +:
-        XxWords.zipWithIndex.map { case (w, i) =>
-          HashKernels.simhash64SeededCol(spark, col("text"), 42L + i).as(w)
+        neededXx.map { w =>
+          HashKernels.simhash64SeededCol(
+            spark, col("text"), 42L + XxWords.indexOf(w)).as(w)
         }: _*)
       .localCheckpoint(false)
     val n = sig.count()
-    println(s"[band] corpus $d: $n docs, ${1 + XxWords.size} signature words" +
+    println(s"[band] corpus $d: $n docs, ${1 + neededXx.size} signature words" +
       " materialized")
 
     // optional brute-force truth row (scheme name "truth"): the per-bucket
@@ -134,18 +151,22 @@ object BandProbe {
             .map(w => col(w).as(s"${w}_$tag")) :+ col("bkey"): _*)
       val joined = side("a").join(side("b"), Seq("bkey"))
         .filter(col("id_a") < col("id_b"))
-      // first-match-band dedup, the d04 trick: a pair in band bi is a
-      // duplicate iff an EARLIER band of the scheme also matched — a bit
-      // test on the carried words, never a distinct()
+      // first-match-band dedup, the d04 trick generalized LINEARLY in band
+      // count: a pair row at band bi is the pair's canonical copy iff bi
+      // IS the minimum matching band — computed as one least() over per-
+      // band when()s on the carried words (the old per-band ∧ earlier-OR
+      // form is O(B²) expression nodes and blows codegen at 48 bands).
+      // Never a distinct().
       val band = shiftright(col("bkey"),
         sc.bands.head._3).cast("int") // width is uniform per scheme
-      def w(tag: String, wi: Int) =
-        col((if (sc.words(wi) == "m") "m" else sc.words(wi)) + s"_$tag")
-      val earlier = sc.bands.zipWithIndex.drop(1).map { case ((wi, off, width), bi) =>
-        (band === bi) && sc.bands.take(bi).map { case (pwi, poff, pwidth) =>
-          slice(w("a", pwi), poff, pwidth) === slice(w("b", pwi), poff, pwidth)
-        }.reduce(_ || _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
+      def w(tag: String, wi: Int) = col(sc.words(wi) + s"_$tag")
+      val matchBands = sc.bands.zipWithIndex.map { case ((wi, off, width), bi) =>
+        when(slice(w("a", wi), off, width) === slice(w("b", wi), off, width),
+          lit(bi)).otherwise(lit(Int.MaxValue))
+      }
+      val minMatch =
+        if (matchBands.size == 1) matchBands.head else least(matchBands: _*)
+      val earlier = band > minMatch
       val hamming = bit_count(col("m_a").bitwiseXOR(col("m_b")))
       val bucket = when(earlier, lit(-1))
         .when(hamming <= 4, 0).when(hamming <= 8, 1)
