@@ -83,6 +83,13 @@ object BandProbe {
     val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val only = if (args.length > 1) args(1).split(",").toSet
                 else schemes.map(_.name).toSet
+    // a typo'd scheme name would otherwise silently select nothing and
+    // print an empty report that reads like a clean run
+    val known = schemes.map(_.name).toSet + "truth"
+    val unknown = only -- known
+    require(unknown.isEmpty,
+      s"unknown scheme(s) ${unknown.mkString(",")}; known: " +
+        known.toSeq.sorted.mkString(","))
     val spark = GraftSession.builder(
       "band-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
