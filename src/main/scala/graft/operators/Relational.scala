@@ -652,18 +652,23 @@ object Relational {
           FROM orders)
         WHERE rn <= 3 ORDER BY o_custkey, rn"""),
       build = (s, d) => {
-        // one range exchange serves the window's clustering AND the output
-        // order (subset rule) — a trailing orderBy would range-shuffle a
-        // second time and re-run the window for boundary sampling
+        // planner exchanges on purpose — do NOT apply the q12/t10 bottom-
+        // range-exchange pattern here: a rank filter over a PLANNER window
+        // exchange gets WindowGroupLimit split Partial/Final, and the
+        // Partial prunes to ≤3 rows per group per map task BELOW the
+        // shuffle (measured at sf1: 15 MB shipped vs 47 MB under a user
+        // range exchange, which the optimizer will not push the partial
+        // limit through — the gap grows with rows-per-group). The terminal
+        // orderBy's sampling re-run reads the REUSED window exchange and
+        // re-applies only the pruned window+filter; its range exchange
+        // carries ≤3·|custkeys| rows. Bytes beat job count at scale.
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, d)
-          .select("o_custkey", "o_orderkey", "o_totalprice")
-          .repartitionByRange(col("o_custkey"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("o_custkey", "rn", "o_orderkey")
-          .sortWithinPartitions("o_custkey", "rn")
+          .orderBy("o_custkey", "rn")
       }),
 
     // ---------------------------------------------------------------- Q17
