@@ -233,22 +233,19 @@ object TextAnalysis {
             AS dup_3gram_frac
         FROM g ORDER BY doc_id"""),
       build = (s, d) => {
-        val ws = split(col("text"), " ")
-        // sequence(1, 0) would generate a DESCENDING ramp, not an empty
-        // array — short docs need the explicit guard
-        def grams(n: Int) = when(size(ws) >= n,
-          transform(sequence(lit(1), size(ws) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(k => element_at(ws, (i + k).cast("int"))): _*)))
-          .otherwise(array().cast("array<string>"))
-        def dupFrac(arr: org.apache.spark.sql.Column) =
-          round(lit(1) - size(array_distinct(arr)) * 1.0 /
-            greatest(size(arr), lit(1)), 6)
+        // one-pass codegen kernel (exact interned n-gram distinct counts —
+        // graft.functions.RepetitionKernel) instead of the interpreted
+        // transform(sequence(...))+array_distinct HOF chain: bit-identical
+        // fractions, ~4x cheaper per row, and the terminal orderBy's
+        // boundary-sampling re-run of this projection becomes cheap too
+        val r = graft.functions.RepetitionKernel
+          .repetitionStatsCol(s, col("text"))
         Tables.documents(s, d)
+          .select(col("doc_id"), r.as("r"))
           .select(col("doc_id"),
-            dupFrac(ws).as("dup_word_frac"),
-            dupFrac(grams(2)).as("dup_2gram_frac"),
-            dupFrac(grams(3)).as("dup_3gram_frac"))
+            round(element_at(col("r"), 1), 6).as("dup_word_frac"),
+            round(element_at(col("r"), 2), 6).as("dup_2gram_frac"),
+            round(element_at(col("r"), 3), 6).as("dup_3gram_frac"))
           .orderBy("doc_id")
       }),
 
