@@ -25,7 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - a 3-gram is the packed long (pairId(i,i+1) << 32 | id(i+2)) —
   *     exact because both halves are exact identities, so three tokens
   *     collide iff they ARE the same triple. No hashing approximation
-  *     anywhere: the fractions are bit-identical to the HOF form's.
+  *     anywhere: for non-null text the fractions are bit-identical to the
+  *     HOF form's. NULL text propagates NULL for all three fractions
+  *     (UnaryExpression null semantics, matching the DuckDB oracle); the
+  *     old HOF's `when(size >= n)` guard evaluated its `otherwise` branch
+  *     on a NULL predicate and yielded NULL/1.0/1.0 instead — the kernel's
+  *     behavior is the correct one.
   *
   * Tokenization is `split(" ", -1)` — identical to Spark's
   * `split(text, " ")` and DuckDB's `string_split` (empty tokens from
@@ -43,12 +48,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RepetitionKernel {
 
+  private def cap(n: Int): Int =
+    if (n > (1 << 29)) 1 << 30 else math.max(n * 2, 8)
+
   /** Returns [dup_word_frac, dup_2gram_frac, dup_3gram_frac], unrounded. */
   def repetitionStats(t: UTF8String): ArrayData = {
     val toks = t.toString.split(" ", -1)
     val n = toks.length
     val ids = new Array[Int](n)
-    val tokMap = new java.util.HashMap[String, Integer](n * 2)
+    // Initial capacities saturate at 1<<30: n*2 would overflow Int (and
+    // throw) past ~2^30 tokens — unreachable under UTF8String's 2GB bound,
+    // but guarded anyway.
+    val tokMap = new java.util.HashMap[String, Integer](cap(n))
     var i = 0
     while (i < n) {
       val prev = tokMap.putIfAbsent(toks(i), tokMap.size)
@@ -59,7 +70,7 @@ object RepetitionKernel {
 
     val c2 = math.max(n - 1, 0)
     val pairIds = new Array[Int](c2)
-    val pairMap = new java.util.HashMap[java.lang.Long, Integer](c2 * 2)
+    val pairMap = new java.util.HashMap[java.lang.Long, Integer](cap(c2))
     i = 0
     while (i < c2) {
       val key = java.lang.Long.valueOf((ids(i).toLong << 32) | ids(i + 1))
@@ -70,7 +81,7 @@ object RepetitionKernel {
     val d2 = 1.0 - pairMap.size * 1.0 / math.max(c2, 1)
 
     val c3 = math.max(n - 2, 0)
-    val triSet = new java.util.HashSet[java.lang.Long](c3 * 2)
+    val triSet = new java.util.HashSet[java.lang.Long](cap(c3))
     i = 0
     while (i < c3) {
       triSet.add((pairIds(i).toLong << 32) | ids(i + 2))
