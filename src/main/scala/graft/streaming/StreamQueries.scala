@@ -146,9 +146,12 @@ object StreamQueries {
          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         ORDER BY a.user_id, click_ts, buy_ts"""),
       build = (s, d) =>
+        // noDataBatch=false: an INNER stream-stream join emits every match
+        // in the data batch; the trailing watermark-eviction batch spends
+        // ~40% of the trigger time on zero output (see runToMemory).
         Streams.runToMemory(
           Streams.clickPurchaseJoin(Streams.eventsStream(s, d)),
-          unique("q40s"), mode = "append")
+          unique("q40s"), mode = "append", noDataBatch = false)
           .orderBy("user_id", "click_ts", "buy_ts")),
 
     // Streaming decontamination gate: the d11 check applied at ingest —

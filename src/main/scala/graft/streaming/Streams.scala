@@ -647,7 +647,8 @@ object Streams {
       agg: DataFrame,
       name: String,
       mode: String = "complete",
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      noDataBatch: Boolean = true): DataFrame = {
     // State partition count is captured at query START from
     // spark.sql.shuffle.partitions and sizes the state-store file fan-out
     // (a stream-stream join keeps 4 stores per partition, each snapshotting
@@ -656,10 +657,26 @@ object Streams {
     // bounded gates need, so set it for the query and restore after.
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // SPARK_GRAFT_STATE_PARTS overrides for A/B experiments (ConfExperiment)
+    // SPARK_GRAFT_STATE_PARTS overrides for A/B experiments (ConfExperiment;
+    // StreamProfile passes a comma list for interleaved A/Bs — a non-int
+    // value here falls back to the declared default rather than throwing)
     val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS")
-      .map(_.toInt).getOrElse(statePartitions)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(statePartitions)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // AvailableNow appends a final NO-DATA micro-batch after the data
+    // batches: it advances the watermark and runs state eviction/final
+    // emission. Stateful APPEND-mode aggregations need it to emit closed
+    // windows — but a bounded INNER stream-stream join's output is already
+    // complete after the data batches, and for a run-to-completion gate the
+    // eviction pass is pure machinery (measured ~40% of q40s's trigger
+    // time: the symmetricHashJoin's 4 stores × 8 partitions each pay
+    // removal + commit for ZERO output rows). Callers whose semantics
+    // can't be affected (inner joins) pass noDataBatch = false; the
+    // oracle gate would catch any emission loss.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    if (!noDataBatch) spark.conf.set(noDataKey, "false")
     try {
       val q = agg.writeStream
         .outputMode(mode)
@@ -668,7 +685,10 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(noDataKey, prevNoData)
+    }
     agg.sparkSession.table(name)
   }
 }
