@@ -112,7 +112,11 @@ object Bench {
     // Guarded: the floor probe must never cost the round its bench record
     // (the r6 lesson applied to this pre-loop step too) — on any failure it
     // reports 0 and the bench proceeds.
-    val streamingFloorSec = try {
+    // Per-pass floor probes (min taken across passes): the old once-pre-loop
+    // min-of-2 inherited whatever contention existed at session START and
+    // could misstate the machinery share 3× between draws (VERDICT r12 #3).
+    var floorProbeCounter = 0
+    val floorProbe: () => Double = try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-floor").toString
       spark.range(1L).toDF("id").write.mode("overwrite").parquet(tmp)
       val schema = spark.read.parquet(tmp).schema
@@ -126,12 +130,31 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once(0) // warm the streaming execution path itself
-      val perRun = math.min(once(1), once(2))
-      perRun * streaming.StreamQueries.defs.size
+      () => { floorProbeCounter += 1; once(floorProbeCounter) }
     } catch { case e: Throwable =>
+      // Guarded: the probe must never cost the round its bench record
       System.err.println(s"[bench] streaming floor probe failed: ${e.getMessage}")
-      0.0
+      () => 0.0
     }
+
+    // Contention canary (VERDICT r12 #1): a fixed 32-partition compute probe
+    // timed at the START of every pass. Same-code clean draws on this box
+    // swing ±20% and a host-level noisy neighbor can inflate a whole draw
+    // 1.4-1.6× uniformly — BENCH_r12 landed as exactly such a draw and read
+    // as a 43% "regression" headline-to-headline. The canary moves with the
+    // load (it spans all cores, so it sees scheduler contention the queries
+    // see) while carrying zero plan/code variance between rounds: a draw
+    // whose canary_sec reads ≫ the committed clean-draw band (see STATE.md)
+    // self-identifies as contended, per pass, in the artifact itself.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // mod before summing: the raw sum of id*knuth over 256M ids overflows
+      // Long and ANSI mode makes that an error, not a wrap
+      spark.range(0L, 256000000L, 1L, 32)
+        .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm (codegen for the probe plan)
 
     // The suite runs SPARK_GRAFT_BENCH_REPS complete PASSES (default 2) and
     // each query reports its best pass. Rationale (VERDICT r7 #1): this box
@@ -153,6 +176,8 @@ object Bench {
     // per-pass decomposition a contended artifact is indistinguishable
     // from a regression and costs the judge a full re-run to adjudicate.
     val passSec = Array.fill(passes)(0.0)
+    val canarySec = Array.fill(passes)(0.0)
+    val floorSec = Array.fill(passes)(0.0)
     val bestSec = Array.fill(names.size)(Double.MaxValue)
     val shuffleMb = Array.fill(names.size)(-1.0)
     val lastErr = Array.fill[Option[String]](names.size)(None)
@@ -165,6 +190,8 @@ object Bench {
         System.gc()
         warmIndexes()
       }
+      canarySec(pass) = canaryOnce()
+      floorSec(pass) = floorProbe()
       var i = 0
       names.foreach { case (_, fn) =>
         val s0 = listener.bytes.get()
@@ -241,10 +268,16 @@ object Bench {
     val errPart =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val passPart = passSec.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val canaryPart = canarySec.map(p => f"$p%.3f").mkString("[", ",", "]")
+    // publish the BEST pass's floor (clean-draw machinery share), scaled to
+    // the twin count exactly as before
+    val streamingFloorSec =
+      floorSec.filter(_ > 0).minOption.getOrElse(0.0) *
+        streaming.StreamQueries.defs.size
     spark.stop()
     // final line of output, compact (3-decimal secs, no shuffle map) so the
     // driver's tail window always captures and parses it
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"pass_sec":$passPart,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"pass_sec":$passPart,"canary_sec":$canaryPart,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}""")
   }
 }
