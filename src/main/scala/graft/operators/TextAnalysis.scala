@@ -101,8 +101,12 @@ object TextAnalysis {
                     THEN 'en' ELSE 'unknown' END AS lang_guess
         FROM documents ORDER BY doc_id"""),
       build = (s, d) => {
-        val words = split(lower(col("text")), " ")
-        val nStop = size(filter(words, t => array_contains(stopArr, t)))
+        // one-pass codegen kernel (TokenCountKernel, round-13 HofBanSpec
+        // find): the old size(filter(split(lower(text)))) chain ran an
+        // interpreted lambda per token and materialized two arrays per row
+        // to read one int — the t06 class
+        val nStop = graft.functions.TokenCountKernel
+          .stopwordCountCol(s, col("text"), stopwords)
         Tables.documents(s, d)
           .select(
             col("doc_id"),
@@ -124,11 +128,15 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""),
       build = (s, d) => {
         val words = split(col("text"), " ")
+        // codegen kernel instead of the interpreted filter-HOF count
+        // (round-13 HofBanSpec find, same class as t01)
+        val nLong = graft.functions.TokenCountKernel
+          .longTokenCountCol(s, col("text"), 6)
         Tables.documents(s, d)
           .select(
             col("doc_id"), col("n_chars"),
             size(words).as("n_words"),
-            round(size(filter(words, w => length(w) >= 6)) * 1.0 /
+            round(nLong * 1.0 /
               greatest(size(words), lit(1)), 6).as("long_word_ratio"),
             when(col("n_chars").between(200, 2000), 1).otherwise(0).as("len_ok"))
           .orderBy("doc_id")
@@ -151,8 +159,11 @@ object TextAnalysis {
           .select(
             col("doc_id"),
             size(split(col("text"), " ")).as("ws_tokens"),
-            size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
-              x => length(x) > 0)).as("re_tokens"),
+            // maximal-alnum-run count kernel: same integer as counting the
+            // nonempty regex-split pieces, with no regex engine and no
+            // arrays (round-13 HofBanSpec find)
+            graft.functions.TokenCountKernel
+              .alnumRunCountCol(s, col("text")).as("re_tokens"),
             ceil(col("n_chars") / 3.7).cast("bigint").as("est_bpe_tokens"))
           .orderBy("doc_id")),
 

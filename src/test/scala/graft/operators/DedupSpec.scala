@@ -183,6 +183,51 @@ class DedupSpec extends SparkTestBase {
     assert(r2 > r1, "the second probe must strictly improve recall here")
   }
 
+  test("d16 cap-k: capped table is an exact prefix and argmin is stable below the cap") {
+    // The SPARK_GRAFT_D16_CAPK deployment lever (VERDICT r12 #4) builds its
+    // table as a PREFIX of the uncapped md5 rank — two invariants make the
+    // capped path sound, both pinned here at a SF where the cap binds:
+    //   1. prefix identity: capCentroidTable(t, cap) keeps cells 0..cap-1
+    //      bit-identical to the uncapped table's;
+    //   2. argmin stability: a vector whose uncapped argmin cell < cap
+    //      keeps that cell (min over a subset that contains the min) —
+    //      only vectors from truncated cells redistribute, which is the
+    //      recall-UP coarsening IvfProbe measured (0.998 merged at 2M).
+    val sf01 = "/root/testdata/sf0.1"
+    val bc = Dedup.centroidTableBc(spark, sf01)
+    val t = bc.value
+    val cap = 2
+    val capped = Dedup.capCentroidTable(t, cap)
+    assert(capped.dim == t.dim)
+    t.labels.foreach { l =>
+      val kk = math.min(cap, t.selfDots(l).length)
+      assert(capped.selfDots(l).toSeq == t.selfDots(l).take(kk).toSeq,
+        s"label $l: capped selfDots must be an exact prefix")
+      assert(capped.vectors(l).toSeq == t.vectors(l).take(kk * t.dim).toSeq,
+        s"label $l: capped centroid matrix must be an exact prefix")
+    }
+    assert(t.labels.exists(l => t.selfDots(l).length > cap),
+      "cap must bind at sf0.1 or this pin is vacuous")
+    val cbc = spark.sparkContext.broadcast(capped)
+    val both = graft.Tables.embeddings(spark, sf01).select(col("vec_id"),
+        graft.functions.ArrayMath.nearestCellBc(
+          spark, col("label"), col("embedding"), bc).as("c0"),
+        graft.functions.ArrayMath.nearestCellBc(
+          spark, col("label"), col("embedding"), cbc).as("c1"))
+      .collect()
+    var redistributed = 0
+    both.foreach { r =>
+      val (c0, c1) = (r.getInt(1), r.getInt(2))
+      assert(c1 >= 0 && c1 < cap, s"capped cell $c1 out of range")
+      if (c0 < cap)
+        assert(c1 == c0,
+          s"vec ${r.getLong(0)} moved $c0 -> $c1 despite c0 < cap")
+      else redistributed += 1
+    }
+    assert(redistributed > 0, "some vectors must redistribute when cap binds")
+    info(s"cap=$cap at sf0.1: ${both.length} vectors, $redistributed redistributed")
+  }
+
   test("d12: span counts reconcile and the earliest doc keeps its spans") {
     val rows = Dedup.defs.find(_.name == "d12_span_dedup").get
       .build(spark, dir).collect()
