@@ -153,12 +153,11 @@ object IvfProbe {
     // more), the opposite trade from IVF.
     Seq(1024).foreach { cap =>
       if (ks.max > cap) {
+        // the EXACT prefix-truncation the SPARK_GRAFT_D16_CAPK flag applies
+        // (Dedup.capCentroidTable; DedupSpec pins prefix identity), so this
+        // probe's recall numbers ARE the flag path's
         val capped = spark.sparkContext.broadcast(
-          graft.functions.CentroidTable.build(table.labels.map { l =>
-            val kk = math.min(cap, table.selfDots(l).length)
-            (l, table.vectors(l).take(kk * table.dim),
-              table.selfDots(l).take(kk))
-          }))
+          graft.operators.Dedup.capCentroidTable(table, cap))
         def capCol = graft.functions.ArrayMath.nearestCellBc(
           spark, col("label"), col("embedding"), capped)
         pass(s"assign cap=$cap", capCol)
