@@ -85,6 +85,23 @@ object TokenCountKernel {
     count
   }
 
+  /** Whitespace-token count = spaces + 1: `split(" ", -1)` always yields
+    * one more element than there are separators (empties included), so the
+    * count needs no array at all. */
+  def wsTokenCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    var i = 0
+    var count = 1
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ')
+        count += 1
+      i += 1
+    }
+    count
+  }
+
   def alnumRunCount(t: UTF8String): Int = {
     val n = t.numBytes
     val base = t.getBaseObject
@@ -136,6 +153,18 @@ object TokenCountKernel {
       copy(child = c)
   }
 
+  case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(t: Any): Any =
+      wsTokenCount(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TokenCountKernel.wsTokenCount($c);""")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class AlnumRunCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(t: Any): Any =
@@ -168,5 +197,10 @@ object TokenCountKernel {
   def alnumRunCountCol(spark: SparkSession, c: Column): Column = {
     reg(spark, "graft_alnum_run_count", es => AlnumRunCountExpr(es.head))
     org.apache.spark.sql.functions.call_function("graft_alnum_run_count", c)
+  }
+
+  def wsTokenCountCol(spark: SparkSession, c: Column): Column = {
+    reg(spark, "graft_ws_token_count", es => WsTokenCountExpr(es.head))
+    org.apache.spark.sql.functions.call_function("graft_ws_token_count", c)
   }
 }

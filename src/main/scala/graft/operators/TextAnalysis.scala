@@ -107,10 +107,13 @@ object TextAnalysis {
         // to read one int — the t06 class
         val nStop = graft.functions.TokenCountKernel
           .stopwordCountCol(s, col("text"), stopwords)
+        // denominator via spaces+1 — no token array for a count
+        val nWs = graft.functions.TokenCountKernel
+          .wsTokenCountCol(s, col("text"))
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            when(nStop * 1.0 / greatest(size(split(col("text"), " ")), lit(1))
+            when(nStop * 1.0 / greatest(nWs, lit(1))
               > 0.05, "en").otherwise("unknown").as("lang_guess"))
           .orderBy("doc_id")
       }),
@@ -127,17 +130,18 @@ object TextAnalysis {
                CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS len_ok
         FROM documents ORDER BY doc_id"""),
       build = (s, d) => {
-        val words = split(col("text"), " ")
-        // codegen kernel instead of the interpreted filter-HOF count
-        // (round-13 HofBanSpec find, same class as t01)
+        // codegen kernels instead of the interpreted filter-HOF count and
+        // the split-array size (round-13 HofBanSpec find, same class as t01)
         val nLong = graft.functions.TokenCountKernel
           .longTokenCountCol(s, col("text"), 6)
+        val nWs = graft.functions.TokenCountKernel
+          .wsTokenCountCol(s, col("text"))
         Tables.documents(s, d)
           .select(
             col("doc_id"), col("n_chars"),
-            size(words).as("n_words"),
+            nWs.as("n_words"),
             round(nLong * 1.0 /
-              greatest(size(words), lit(1)), 6).as("long_word_ratio"),
+              greatest(nWs, lit(1)), 6).as("long_word_ratio"),
             when(col("n_chars").between(200, 2000), 1).otherwise(0).as("len_ok"))
           .orderBy("doc_id")
       }),
@@ -158,7 +162,8 @@ object TextAnalysis {
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            size(split(col("text"), " ")).as("ws_tokens"),
+            graft.functions.TokenCountKernel
+              .wsTokenCountCol(s, col("text")).as("ws_tokens"),
             // maximal-alnum-run count kernel: same integer as counting the
             // nonempty regex-split pieces, with no regex engine and no
             // arrays (round-13 HofBanSpec find)

@@ -70,6 +70,15 @@ class TokenCountKernelSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("ws-token count matches size(split(text, ' '))") {
+    val df = docs(adversarial ++ randomDocs(300, 23L))
+    val hof = size(split(col("text"), " "))
+    val kernel = TokenCountKernel.wsTokenCountCol(spark, col("text"))
+    val bad = df.select(col("id"), col("text"), hof.as("h"), kernel.as("k"))
+      .filter(col("h") =!= col("k")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("alnum-run count matches the regex-split nonempty-filter HOF form") {
     val df = docs(adversarial ++ randomDocs(300, 19L))
     val hof = size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
