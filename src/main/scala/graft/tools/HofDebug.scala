@@ -23,7 +23,7 @@ object HofDebug {
           println(s"[hof] node=${node.nodeName} scanSide=$scanSide " +
             s"hofs=${hofs.mkString(",")}")
       }
-      if (sys.env.contains("HOF_TREE"))
+      if (sys.env.contains("SPARK_GRAFT_HOF_TREE"))
         println(p.treeString.linesIterator.map("[tree] " + _).mkString("\n"))
     }
     spark.stop()
