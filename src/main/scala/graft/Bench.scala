@@ -154,7 +154,10 @@ object Bench {
         .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // warm (codegen for the probe plan)
+    // warm (codegen for the probe plan) — guarded like the per-pass calls
+    try canaryOnce() catch { case e: Throwable =>
+      System.err.println(s"[bench] canary warm-up failed: ${e.getMessage}")
+    }
 
     // The suite runs SPARK_GRAFT_BENCH_REPS complete PASSES (default 2) and
     // each query reports its best pass. Rationale (VERDICT r7 #1): this box
@@ -190,8 +193,19 @@ object Bench {
         System.gc()
         warmIndexes()
       }
-      canarySec(pass) = canaryOnce()
-      floorSec(pass) = floorProbe()
+      // Probes are guarded PER CALL, not just at construction (ADVICE r13):
+      // a transient mid-run failure (tmp dir reaped, contention-induced job
+      // failure) must cost that pass's probe value — published as 0, which
+      // a reader of canary_sec/floor handling already treats as "no
+      // measurement" — never the round's bench record (the r6 lesson).
+      canarySec(pass) = try canaryOnce() catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed on pass $pass: ${e.getMessage}")
+        0.0
+      }
+      floorSec(pass) = try floorProbe() catch { case e: Throwable =>
+        System.err.println(s"[bench] floor probe failed on pass $pass: ${e.getMessage}")
+        0.0
+      }
       var i = 0
       names.foreach { case (_, fn) =>
         val s0 = listener.bytes.get()

@@ -35,15 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TokenCountKernel {
 
-  def stopwordCount(t: UTF8String, stops: java.util.HashSet[UTF8String]): Int = {
+  def stopwordCount(t: UTF8String, stops: java.util.HashSet[UTF8String],
+      maxTokenBytes: Int): Int = {
     val n = t.numBytes
     val base = t.getBaseObject
     val off = t.getBaseOffset
     var i = 0
     var start = 0
     var count = 0
+    // maxTokenBytes is derived from the ACTUAL set by StopwordCountExpr
+    // (ADVICE r13: a hardcoded cutoff silently un-matches any longer
+    // stopword a caller passes); tokens past it cannot lowercase into the
+    // set, so the probe (toLowerCase alloc + hash) is skipped
     def probe(s: Int, e: Int): Unit =
-      if (e > s && e - s <= 8) { // longest stopword is 4 bytes; 8 is slack
+      if (e > s && e - s <= maxTokenBytes) {
         val tok = UTF8String.fromAddress(base, off + s, e - s)
         if (stops.contains(tok.toLowerCase)) count += 1
       }
@@ -127,14 +132,24 @@ object TokenCountKernel {
       stopwords.foreach(w => s.add(UTF8String.fromString(w)))
       s
     }
+    /** Raw-token-byte skip cutoff, derived from the set itself so a longer
+      * stopword can never silently stop matching (ADVICE r13). The ×3 slack
+      * is the worst UTF-8 LOWERCASE shrink ratio: a raw token is probed
+      * after toLowerCase, and a mapping can shrink bytes (U+212A KELVIN
+      * SIGN, 3 bytes, lowercases to 'k', 1 byte) — so a raw token up to
+      * 3× the longest stopword's bytes could still lowercase into the set.
+      * No simple-case mapping shrinks more than 3→1 bytes. */
+    @transient private lazy val maxTokenBytes: Int =
+      stopwords.foldLeft(0)((m, w) =>
+        math.max(m, UTF8String.fromString(w).numBytes)) * 3
     override def dataType: DataType = IntegerType
     override def nullSafeEval(t: Any): Any =
-      stopwordCount(t.asInstanceOf[UTF8String], set)
+      stopwordCount(t.asInstanceOf[UTF8String], set, maxTokenBytes)
     override protected def doGenCode(
         ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
       nullSafeCodeGen(ctx, ev, c => s"""
-        ${ev.value} = graft.functions.TokenCountKernel.stopwordCount($c, $ref);""")
+        ${ev.value} = graft.functions.TokenCountKernel.stopwordCount($c, $ref, $maxTokenBytes);""")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

@@ -657,12 +657,24 @@ object Streams {
     // bounded gates need, so set it for the query and restore after.
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // SPARK_GRAFT_STATE_PARTS overrides for A/B experiments (ConfExperiment;
-    // StreamProfile passes a comma list for interleaved A/Bs — a non-int
-    // value here falls back to the declared default rather than throwing)
-    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(statePartitions)
+    // SPARK_GRAFT_STATE_PARTS overrides for A/B experiments (ConfExperiment).
+    // Two recognized shapes, everything else FAILS FAST (ADVICE r13: a
+    // typo'd value that silently fell back to the default made an A/B
+    // measure default-vs-default): a single int overrides here; a comma
+    // list of ints is StreamProfile's interleave syntax (that tool drives
+    // the partition conf itself per rep), so this path keeps the declared
+    // default for it.
+    val parts = sys.env.get("SPARK_GRAFT_STATE_PARTS") match {
+      case None => statePartitions
+      case Some(v) =>
+        val items = v.split(",").map(_.trim).filter(_.nonEmpty)
+        require(items.nonEmpty &&
+            items.forall(s => scala.util.Try(s.toInt).isSuccess),
+          s"SPARK_GRAFT_STATE_PARTS='$v' is neither an int nor a comma " +
+            "list of ints — refusing to run an experiment against a " +
+            "silently-defaulted config")
+        if (items.length == 1) items.head.toInt else statePartitions
+    }
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // AvailableNow appends a final NO-DATA micro-batch after the data
     // batches: it advances the watermark and runs state eviction/final

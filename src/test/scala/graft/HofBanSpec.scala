@@ -106,8 +106,19 @@ class HofBanSpec extends SparkTestBase {
       }
     }
     if (skipped.nonEmpty) info(s"builds skipped: ${skipped.mkString(", ")}")
-    assert(skipped.size <= 3,
-      s"too many builds failed for the audit to mean anything: $skipped")
+    // Skips must be NAMED, like the HOF whitelist — the old blanket "≤3"
+    // tolerance would let a refactor that breaks exactly 1-3 query builds
+    // pass this spec while silently shrinking the audit's coverage
+    // (VERDICT r13 #3). Every declared query builds at HEAD, so the list
+    // is empty; an environment-specific build failure goes here BY NAME
+    // with its adjudication, never as a count allowance.
+    val allowedBuildSkips: Set[String] = Set.empty
+    val unexpected =
+      skipped.filterNot(s => allowedBuildSkips.exists(s.startsWith))
+    assert(unexpected.isEmpty,
+      "query build(s) failed inside the HOF audit — the audit no longer " +
+        "covers them; fix the build or name it in allowedBuildSkips with " +
+        s"an adjudication: ${unexpected.mkString(", ")}")
     assert(offenders.isEmpty,
       "interpreted HOF on the scan path (the t06 class) — rewrite as a " +
         s"codegen kernel or adjudicate + whitelist:\n${offenders.mkString("\n")}")

@@ -61,6 +61,36 @@ class TokenCountKernelSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("stopword cutoff derives from the set (ADVICE r13): 9-byte and " +
+      "case-shrunk stopwords match the HOF form") {
+    // A 9-byte stopword: RED under the old hardcoded 8-byte raw-token skip
+    // (the kernel would silently never match it while the HOF form did).
+    val nine = "abcdefghi"
+    assert(nine.getBytes("UTF-8").length == 9)
+    val stops1 = Seq(nine)
+    val arr1 = array(stops1.map(lit): _*)
+    val hof1 = size(filter(split(lower(col("text")), " "),
+      t => array_contains(arr1, t)))
+    val k1 = TokenCountKernel.stopwordCountCol(spark, col("text"), stops1)
+    val r1 = docs(Seq(s"$nine x $nine ABCDEFGHI", nine, "abcdefgh", ""))
+      .select(col("id"), hof1.as("h"), k1.as("k")).collect()
+    assert(r1.forall(r => r.getInt(1) == r.getInt(2)), r1.mkString("\n"))
+    assert(r1.map(_.getInt(2)).sum == 4)
+    // UTF-8 case-mapping SHRINK: U+212A KELVIN SIGN (3 bytes) lowercases
+    // to 'k' (1 byte). Proves the ×3 slack in the derived cutoff — a
+    // cutoff of max-stopword-bytes alone would skip the 3-byte raw token
+    // and diverge from lower()-then-match semantics.
+    val stops2 = Seq("k")
+    val arr2 = array(stops2.map(lit): _*)
+    val hof2 = size(filter(split(lower(col("text")), " "),
+      t => array_contains(arr2, t)))
+    val k2 = TokenCountKernel.stopwordCountCol(spark, col("text"), stops2)
+    val r2 = docs(Seq("\u212A k K x", "\u212A"))
+      .select(col("id"), hof2.as("h"), k2.as("k")).collect()
+    assert(r2.forall(r => r.getInt(1) == r.getInt(2)), r2.mkString("\n"))
+    assert(r2.map(_.getInt(2)).sum == 4)
+  }
+
   test("long-token count matches the length-filter HOF form") {
     val df = docs(adversarial ++ randomDocs(300, 17L))
     val hof = size(filter(split(col("text"), " "), w => length(w) >= 6))
