@@ -1392,6 +1392,14 @@ object Dedup {
                md5(coalesce(a.clean, '')) AS clean_md5
         FROM base b LEFT JOIN agg a USING (doc_id)
         ORDER BY b.doc_id"""),
+      // "head" KEPT after the round-14 interleaved A/B (D12Ab,
+      // artifacts/r14/r14_d12ab_sf{01,1}_fixed.log): ckpt is a wash (the
+      // saved sampling double-run pays itself back in block io); fused /
+      // fused_ckpt drop 11 -> 7 jobs but the best-vs-best win is 0.16 s
+      // at sf0.1 and shrinks to ~5% at sf1 while shipping ALL span text
+      // (kept + dropped) through the doc range exchange where head ships
+      // only kept spans — the q16 lesson (bytes beat job count at scale).
+      // Output identity of all variants pinned at sf1 (50k rows, ordered).
       build = (s, d) => d12SpanDedup(s, d)),
 
     // ------------------------------------------------- semantic (embedding) dedup

@@ -21,7 +21,8 @@ import java.util.concurrent.atomic.AtomicInteger
 object D12Ab {
   def main(args: Array[String]): Unit = {
     val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 1) args(1).toInt else 6
+    val reps =
+      if (args.length > 1 && args(1) != "check") args(1).toInt else 6
     val spark = graft.GraftSession.get("d12-ab")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -31,15 +32,41 @@ object D12Ab {
         jobs.incrementAndGet()
     })
 
+    // "check" as the reps arg: no timing — assert every variant's rows
+    // (including output ORDER, which the oracle gate compares) equal the
+    // declared head form's, then exit. Run before trusting any timing.
+    if (args.lift(1).contains("check")) {
+      val head = graft.operators.Dedup.d12SpanDedup(spark, d, "head")
+        .collect().toSeq
+      for (v <- Seq("ckpt", "fused", "fused_ckpt")) {
+        val rows = graft.operators.Dedup.d12SpanDedup(spark, d, v)
+          .collect().toSeq
+        val ok = rows == head
+        println(s"[d12ab] check $v: rows=${rows.size} head=${head.size} " +
+          s"identical_ordered=$ok")
+        if (!ok) {
+          val bad = rows.zip(head).zipWithIndex.filter { case ((a, b), _) => a != b }
+          println(s"[d12ab]   first diffs: ${bad.take(3).map { case ((a, b), i) =>
+            s"row $i: $a vs $b" }.mkString(" | ")}")
+        }
+      }
+      spark.stop(); return
+    }
+
     val variants = Seq("head", "ckpt", "fused", "fused_ckpt")
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]
     val jobCounts = scala.collection.mutable.Map.empty[String, List[Int]]
     for (r <- 1 to reps; name <- variants) {
-      // fresh frame per rep: a lazy localCheckpoint caches per DataFrame
-      // instance, so reusing one frame would time a block read from rep 2
-      val df = graft.operators.Dedup.d12SpanDedup(spark, d, name)
+      // Time BUILD + EXECUTE, exactly the bench's boundary (t0 before
+      // fn(spark, sfDir)): a lazy localCheckpoint's toRdd under AQE
+      // EAGERLY executes the child's stages at frame-construction time —
+      // the first draft of this tool built the frame outside the timer
+      // and credited ckpt with a 10x phantom win. Fresh frame per rep: a
+      // localCheckpoint caches per DataFrame instance, so reusing one
+      // would time a block read from rep 2.
       val j0 = jobs.get()
       val t0 = System.nanoTime()
+      val df = graft.operators.Dedup.d12SpanDedup(spark, d, name)
       graft.Force(df)
       val sec = (System.nanoTime() - t0) / 1e9
       val nj = jobs.get() - j0
