@@ -155,6 +155,31 @@ object Sketches {
 
   private[operators] def kmvSketch(
       keyed: DataFrame /* (prio, h) */,
+      preDistinct: Boolean = false,
+      variant: String = KmvVariant): DataFrame = variant match {
+    case "agg"    => kmvSketchAgg(keyed)
+    case "window" => kmvSketchWindow(keyed, preDistinct)
+    case other    => sys.error(s"unknown kmv sketch variant $other")
+  }
+
+  /** Default sketch-construction variant; `SPARK_GRAFT_KMV` overrides for
+    * re-measurement (the d12SpanDedup pattern — variants stay buildable so
+    * future rounds can re-run the A/B at bigger SFs). "agg" (the r14
+    * bounded-aggregate form) is the head: the graft.tools.KmvAb interleave
+    * at sf0.1 showed q46 24→20 jobs and 10.07→6.10 MB shuffle (the distinct
+    * exchange gone — the §2.3 claim), q45 9→8 jobs / 1.99→1.76 MB, outputs
+    * byte-identical in check mode, and the map-side-bounded state is the
+    * form that scales (the window form shuffles every distinct hash).
+    * "window" is the r13 form (distinct + salted rank windows). */
+  private[operators] val KmvVariant: String =
+    sys.env.getOrElse("SPARK_GRAFT_KMV", "agg")
+
+  /** r13 form: materialize the distinct (group, hash) set through a full
+    * hash exchange, then prune to k with a SALTED two-level rank window
+    * (each salt keeps its own k smallest; the global k smallest is a
+    * subset of that union — no reducer ranks a group's full hash set). */
+  private[operators] def kmvSketchWindow(
+      keyed: DataFrame /* (prio, h) */,
       preDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dh = if (preDistinct) keyed else keyed.distinct()
@@ -166,6 +191,23 @@ object Sketches {
     pre.withColumn("rk", row_number().over(
         Window.partitionBy("prio").orderBy("h")))
       .filter(col("rk") <= KmvK)
+  }
+
+  /** r14 form: ONE bounded aggregation (functions.KmvTopKAgg) — dedup and
+    * k-pruning happen map-side inside the partial agg, so the exchange
+    * carries ≤(8k+4)-byte states per (task, group) instead of the whole
+    * distinct hash set, and both rank windows (with their sorts and
+    * exchanges) disappear. posexplode of the sorted minima reproduces the
+    * window's rank column exactly; `preDistinct` needs no equivalent (the
+    * state dedups inherently). Same (prio, h, rk) output. */
+  private[operators] def kmvSketchAgg(
+      keyed: DataFrame /* (prio, h) */): DataFrame = {
+    val spark = keyed.sparkSession
+    keyed.groupBy("prio")
+      .agg(graft.functions.KmvTopKAgg
+        .kmvTopKCol(spark, col("h"), KmvK).as("mins"))
+      .select(col("prio"), posexplode(col("mins")).as(Seq("pos", "h")))
+      .select(col("prio"), col("h"), (col("pos") + 1).as("rk"))
   }
 
   /** Theta-sketch set algebra over per-group KMV sketches (q46's sketch
@@ -406,26 +448,7 @@ object Sketches {
         SELECT ex.prio, ex.n_exact,
                round(63 * 1152921504606846976.0 / hk.hk, 6) AS est
         FROM ex JOIN hk USING (prio) ORDER BY ex.prio"""),
-      build = (s, d) => {
-        // ONE distinct frame serves both truths: the exact baseline counts
-        // the same distinct (prio, h) rows the sketch ranks, so the second
-        // orders scan and the countDistinct expansion disappear (md5 is a
-        // 60-bit injection over this domain — both engines hash before the
-        // distinct, so they agree exactly whatever the key space does).
-        val o = Tables.load(s, d, "orders")
-        val dh = o.select(col("o_orderpriority").as("prio"),
-          kmvHash(col("o_custkey")).as("h")).distinct()
-          .localCheckpoint(false)
-        val hk = kmvSketch(dh, preDistinct = true)
-          .filter(col("rk") === KmvK)
-          .select(col("prio"), col("h").as("hk"))
-        val exact = dh.groupBy("prio").agg(count(lit(1)).as("n_exact"))
-        exact.join(hk, "prio")
-          .select(col("prio"), col("n_exact"),
-            round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
-              .as("est"))
-          .orderBy("prio")
-      }),
+      build = (s, d) => q45Build(s, d)),
 
     // Theta-sketch-style SET ALGEBRA on the KMV sketches: for every group
     // pair, |A ∪ B| and |A ∩ B| estimated from the two k-minima sets alone
@@ -480,38 +503,68 @@ object Sketches {
         FROM th JOIN sh USING (pa, pb) JOIN exu USING (pa, pb)
         LEFT JOIN exi USING (pa, pb)
         ORDER BY th.pa, th.pb"""),
-      build = (s, d) => {
-        val o = Tables.load(s, d, "orders")
-        // the exact-truth side feeds three consumers (pair frame, exact
-        // union, exact intersection); checkpoint the distinct once instead
-        // of re-scanning orders per consumer
-        val dc = ResultMemo.checkpointed(
-          o.select(col("o_orderpriority").as("prio"),
-            col("o_custkey").as("c")).distinct())
-        // the sketch side keeps its OWN orders scan rather than reading dc:
-        // feeding it from the checkpoint serializes the sketch behind dc's
-        // materialization and costs more jobs than the shared frame saves
-        // (measured 23 -> 28 jobs, 1.76 -> 2.1 s) — the two branches fuse
-        // with their scans and run concurrently instead
-        val keyed = o.select(col("o_orderpriority").as("prio"),
-          kmvHash(col("o_custkey")).as("h"))
-        val sketch = thetaSetOps(kmvSketch(keyed).select("prio", "h"))
-        val ps = dc.select("prio").distinct()
-        val pr = ps.select(col("prio").as("pa"))
-          .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))
-        val exu = broadcast(pr).join(dc,
-            col("prio") === col("pa") || col("prio") === col("pb"))
-          .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
-        val exi = dc.select(col("prio").as("pa"), col("c"))
-          .join(dc.select(col("prio").as("pb"), col("c")),
-            Seq("c")).filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("n_inter"))
-        sketch.join(exu, Seq("pa", "pb"))
-          .join(exi, Seq("pa", "pb"), "left")
-          .select(col("pa"), col("pb"), col("n_union"),
-            coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_shared"),
-            col("est_union"), col("est_inter"))
-          .orderBy("pa", "pb")
-      })
+      build = (s, d) => q46Build(s, d))
   )
+
+  /** q45's build, variant-parameterized for graft.tools.KmvAb. */
+  private[graft] def q45Build(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      variant: String = KmvVariant): DataFrame = {
+    // ONE distinct frame serves both truths: the exact baseline counts
+    // the same distinct (prio, h) rows the sketch ranks, so the second
+    // orders scan and the countDistinct expansion disappear (md5 is a
+    // 60-bit injection over this domain — both engines hash before the
+    // distinct, so they agree exactly whatever the key space does).
+    val o = Tables.load(s, d, "orders")
+    val dh = o.select(col("o_orderpriority").as("prio"),
+      kmvHash(col("o_custkey")).as("h")).distinct()
+      .localCheckpoint(false)
+    val hk = kmvSketch(dh, preDistinct = true, variant = variant)
+      .filter(col("rk") === KmvK)
+      .select(col("prio"), col("h").as("hk"))
+    val exact = dh.groupBy("prio").agg(count(lit(1)).as("n_exact"))
+    exact.join(hk, "prio")
+      .select(col("prio"), col("n_exact"),
+        round(lit(63) * lit(1152921504606846976.0) / col("hk"), 6)
+          .as("est"))
+      .orderBy("prio")
+  }
+
+  /** q46's build, variant-parameterized for graft.tools.KmvAb. */
+  private[graft] def q46Build(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      variant: String = KmvVariant): DataFrame = {
+    val o = Tables.load(s, d, "orders")
+    // the exact-truth side feeds three consumers (pair frame, exact
+    // union, exact intersection); checkpoint the distinct once instead
+    // of re-scanning orders per consumer
+    val dc = ResultMemo.checkpointed(
+      o.select(col("o_orderpriority").as("prio"),
+        col("o_custkey").as("c")).distinct())
+    // the sketch side keeps its OWN orders scan rather than reading dc:
+    // feeding it from the checkpoint serializes the sketch behind dc's
+    // materialization and costs more jobs than the shared frame saves
+    // (measured 23 -> 28 jobs, 1.76 -> 2.1 s) — the two branches fuse
+    // with their scans and run concurrently instead
+    val keyed = o.select(col("o_orderpriority").as("prio"),
+      kmvHash(col("o_custkey")).as("h"))
+    val sketch =
+      thetaSetOps(kmvSketch(keyed, variant = variant).select("prio", "h"))
+    val ps = dc.select("prio").distinct()
+    val pr = ps.select(col("prio").as("pa"))
+      .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))
+    val exu = broadcast(pr).join(dc,
+        col("prio") === col("pa") || col("prio") === col("pb"))
+      .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
+    val exi = dc.select(col("prio").as("pa"), col("c"))
+      .join(dc.select(col("prio").as("pb"), col("c")),
+        Seq("c")).filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_inter"))
+    sketch.join(exu, Seq("pa", "pb"))
+      .join(exi, Seq("pa", "pb"), "left")
+      .select(col("pa"), col("pb"), col("n_union"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_shared"),
+        col("est_union"), col("est_inter"))
+      .orderBy("pa", "pb")
+  }
 }
