@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD): the r14 driver-side `sbt test`
+// run was killed mid-suite with no summary; knowing where the wall time
+// goes is now operationally load-bearing (VERDICT r14 #2).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Pass the forked JVM's stdout straight through: sbt's default LoggedOutput
 // prefixes every line with "[info] ", which breaks the driver's parse of
 // Bench's single JSON line (BENCH_r02 recorded parsed:null for exactly this).

@@ -213,6 +213,30 @@ object Bench {
     val shuffleMb = Array.fill(names.size)(-1.0)
     val lastErr = Array.fill[Option[String]](names.size)(None)
     val okPasses = Array.fill(names.size)(0)
+
+    // Side files re-written as EACH PASS completes (VERDICT r14 #1c): the
+    // r14 32-core record died in pass 2 with both passes' numbers in
+    // memory and nothing on disk — a hard kill must still leave the best
+    // times measured so far. Same format as the end-of-run files.
+    def writeSideFiles(): Unit = {
+      // a query that never succeeded has no measured time/shuffle — write
+      // its error name (or "not_yet_run" mid-pass) / null, never a
+      // fabricated number a reader could mistake for a measurement
+      val sh = names.zipWithIndex.map { case ((k, _), i) =>
+        "\"" + k + "\":" + (if (okPasses(i) > 0) f"${math.max(shuffleMb(i), 0.0)}%.2f" else "null")
+      }.mkString("{", ",", "}")
+      val shPath = java.nio.file.Paths.get("target/bench_shuffle_mb.json")
+      java.nio.file.Files.createDirectories(shPath.getParent)
+      java.nio.file.Files.write(shPath, sh.getBytes("UTF-8"))
+      val times = names.zipWithIndex.map { case ((k, _), i) =>
+        "\"" + k + "\":" + (if (okPasses(i) > 0) f"${bestSec(i)}%.3f"
+          else "\"" + lastErr(i).getOrElse("not_yet_run") + "\"")
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_times.json"),
+        times.getBytes("UTF-8"))
+    }
+
     var pass = 0
     while (pass < passes) {
       if (pass > 0) {
@@ -274,6 +298,11 @@ object Bench {
       val cpu1 = processCpuSec()
       if (cpu0 >= 0 && cpu1 >= 0) passCpuSec(pass) = cpu1 - cpu0
       passWallSec(pass) = (System.nanoTime() - wall0) / 1e9
+      // Per-query shuffle bytes (and best times so far) go to side files,
+      // not the stdout JSON line: the driver's tail capture is narrow, and
+      // a 4 KB line gets truncated (round 1 lost its bench record that
+      // way). Written per pass so a mid-run kill still leaves a record.
+      writeSideFiles()
       pass += 1
     }
     val reps = passes
@@ -283,22 +312,6 @@ object Bench {
       val err = if (okPasses(i) == 0) lastErr(i) else None
       (name, bestSec(i), math.max(shuffleMb(i), 0.0), err)
     }
-    // Per-query shuffle bytes go to a side file, not the stdout JSON line:
-    // the driver's tail capture is narrow, and a 4 KB line gets truncated
-    // (round 1 lost its bench record that way).
-    // a query that never succeeded has no measured shuffle — write null,
-    // not a fabricated 0.00 a reader could mistake for shuffle-free
-    val sh = results.map { case (k, _, mb, e) =>
-      "\"" + k + "\":" + (if (e.isEmpty) f"$mb%.2f" else "null")
-    }.mkString("{", ",", "}")
-    val shPath = java.nio.file.Paths.get("target/bench_shuffle_mb.json")
-    java.nio.file.Files.createDirectories(shPath.getParent)
-    java.nio.file.Files.write(shPath, sh.getBytes("UTF-8"))
-    val times = results.map { case (k, v, _, e) =>
-      "\"" + k + "\":" + (if (e.isEmpty) f"$v%.3f" else "\"" + e.get + "\"")
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_times.json"), times.getBytes("UTF-8"))
     val ok   = results.filter(_._4.isEmpty)
     val errs = results.collect { case (k, _, _, Some(e)) => "\"" + short(k) + "\":\"" + e + "\"" }
     val qs = ok.map { case (k, v, _, _) => "\"" + short(k) + "\":" + f"$v%.3f" }
@@ -325,10 +338,27 @@ object Bench {
     val streamingFloorSec =
       floorSec.filter(_ > 0).minOption.getOrElse(0.0) *
         streaming.StreamQueries.defs.size
-    spark.stop()
     // final line of output, compact (3-decimal secs, no shuffle map) so the
-    // driver's tail window always captures and parses it
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"pass_sec":$passPart,"canary_sec":$canaryPart,"pass_cpu_sec":$cpuPart,"pass_wall_sec":$wallPart,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}""")
+    // driver's tail window always captures and parses it. Printed (and
+    // persisted) BEFORE spark.stop() — VERDICT r14 #1a: the r14 record was
+    // complete in memory and forfeited because an executor heartbeat abort
+    // during shutdown killed the JVM before this line ran. Nothing below
+    // needs the session; stop() can only lose what is already out.
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"pass_sec":$passPart,"canary_sec":$canaryPart,"pass_cpu_sec":$cpuPart,"pass_wall_sec":$wallPart,"batch_sec":$batchSec%.3f,"streaming_sec":$streamingSec%.3f,"streaming_floor_sec":$streamingFloorSec%.3f,"queries":$qs$errPart,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_line.json"), line.getBytes("UTF-8"))
+    println(line)
+    System.out.flush()
+    // best-effort shutdown, then re-print the SAME line so it is also the
+    // LAST thing in the output: shutdown warnings (e.g. the StateStore
+    // maintenance thread) would otherwise land after the record and could
+    // push it out of the driver's narrow tail-capture window. Identical
+    // duplicate — a last-match parser reads the same record either way.
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    println(line)
+    System.out.flush()
   }
 }

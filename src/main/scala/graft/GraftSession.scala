@@ -35,6 +35,17 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // graft optimizer rules (filter-below-inference pushdown)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Heartbeat/timeout headroom (VERDICT r14 #1): in local mode the
+      // executor lives in the driver JVM and a long GC or host-level steal
+      // stall can miss enough 10 s heartbeats that the executor
+      // System.exit(56)s the WHOLE process (ExecutorExitCode
+      // HEARTBEAT_FAILURE) — BENCH_r14's 32-core record died exactly this
+      // way after 25 min of clean running. A stall on a shared box must
+      // degrade a pass, never forfeit the record: heartbeat every 60 s and
+      // a 20 min receiver expiry ride out any survivable pause. Stability
+      // config only — no query plan or timing semantics change.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -210,9 +210,7 @@ object Relational {
                  AS DOUBLE) / 50000.0) AS BIGINT) AS bin
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
-      build = (s, d) => binAssigned(s, d)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "bin")
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+      build = (s, d) => q04From(binAssigned(s, d))),
 
     // ---------------------------------------------------------------- Q05
     QueryDef(
@@ -229,12 +227,7 @@ object Relational {
                    AS DOUBLE) / 50000.0) AS BIGINT) AS bin
           FROM lineitem)
         GROUP BY l_orderkey, bin ORDER BY l_orderkey, bin"""),
-      build = (s, d) => binAssigned(s, d)
-        .groupBy("l_orderkey", "bin")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("cents")).cast("double").as("total"))
-        .orderBy("l_orderkey", "bin")),
+      build = (s, d) => q05From(binAssigned(s, d))),
 
     // ---------------------------------------------------------------- Q06
     QueryDef(
@@ -1034,15 +1027,57 @@ object Relational {
   private def binAssigned(s: SparkSession, d: String): DataFrame =
     ResultMemo.materialized("binAssigned", s, d)(binAssignedRaw(s, d))
 
-  private def binAssignedRaw(s: SparkSession, d: String): DataFrame = {
+  /** q04/q05 terminal ops over a bin-assigned frame — shared between the
+    * declared builds (memoized frame) and graft.tools.BinAb (raw frame per
+    * variant), so the A/B can never drift from what the queries compute. */
+  private[graft] def q04From(bins: DataFrame): DataFrame = bins
+    .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "bin")
+    .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  private[graft] def q05From(bins: DataFrame): DataFrame = bins
+    .groupBy("l_orderkey", "bin")
+    .agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).cast("double").as("total"))
+    .orderBy("l_orderkey", "bin")
+
+  /** Exchange variant for the q04/q05 window pass (r15, guide §2.4):
+    *
+    * "range" (head) establishes the window's per-order clustering with ONE
+    * RANGE exchange on l_orderkey instead of the default hash exchange.
+    * RangePartitioning(l_orderkey) satisfies everything downstream of the
+    * window in BOTH queries — q04's terminal ORDER BY (l_orderkey, ...) and
+    * q05's GROUP BY (l_orderkey, bin) + ORDER BY are prefix/subset-
+    * compatible — so the second (range) exchange each query paid on the
+    * suite's largest shuffle payload disappears; only local sorts remain.
+    * The `cents` cast also moves ABOVE the exchange so the shuffle carries
+    * 5 columns, not 6 (§2.3: project before the exchange).
+    *
+    * "hash" is the r14 form (hash window exchange + per-query terminal
+    * range exchange), kept buildable for re-measurement (d12 pattern);
+    * `SPARK_GRAFT_BIN_PART` overrides. Both produce identical rows AND
+    * identical output order (the terminal sorts are total orders).
+    */
+  private[operators] val BinPart: String =
+    sys.env.getOrElse("SPARK_GRAFT_BIN_PART", "range")
+
+  private[graft] def binAssignedRaw(
+      s: SparkSession, d: String,
+      variant: String = BinPart): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.lineitem(s, d)
+    val base = Tables.lineitem(s, d)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_extendedprice"),
-        col("l_extendedprice").cast("decimal(18,2)").as("cents"))
+        col("l_suppkey"), col("l_extendedprice"))
+    val clustered = variant match {
+      case "range" => base.repartitionByRange(col("l_orderkey"))
+      case "hash"  => base
+      case other   => sys.error(s"unknown bin partition variant $other")
+    }
+    clustered
+      .withColumn("cents", col("l_extendedprice").cast("decimal(18,2)"))
       .withColumn("bin",
         floor(sum(col("cents")).over(w).cast("double") / 50000.0).cast("bigint"))
   }

@@ -156,10 +156,19 @@ object Sketches {
   private[operators] def kmvSketch(
       keyed: DataFrame /* (prio, h) */,
       preDistinct: Boolean = false,
-      variant: String = KmvVariant): DataFrame = variant match {
-    case "agg"    => kmvSketchAgg(keyed)
-    case "window" => kmvSketchWindow(keyed, preDistinct)
-    case other    => sys.error(s"unknown kmv sketch variant $other")
+      variant: String = KmvVariant): DataFrame = {
+    // NULL hashes are dropped BEFORE the variant dispatch (ADVICE r14): the
+    // agg variant skips NULL inputs (aggregate semantics) while the window
+    // variant's orderBy(h) would rank them first — a future caller feeding a
+    // nullable key column must not silently diverge between variants. Every
+    // declared caller feeds md5-derived non-null hashes, so this filter
+    // drops zero rows today; it pins the boundary rather than documenting it.
+    val nn = keyed.filter(col("h").isNotNull)
+    variant match {
+      case "agg"    => kmvSketchAgg(nn)
+      case "window" => kmvSketchWindow(nn, preDistinct)
+      case other    => sys.error(s"unknown kmv sketch variant $other")
+    }
   }
 
   /** Default sketch-construction variant; `SPARK_GRAFT_KMV` overrides for
@@ -530,38 +539,78 @@ object Sketches {
       .orderBy("prio")
   }
 
+  /** Exact-union branch variant for q46 (r15): "arith" computes
+    * n_union = n_a + n_b − n_inter from the per-prio distinct counts and the
+    * intersection the query already pays for — an exact integer set
+    * identity, so the answer is bit-identical to counting the union — while
+    * "cdist" is the r12 form (broadcast pair expansion of the whole distinct
+    * set, ×(groups−1) per row, then countDistinct). The identity removes
+    * q46's widest dataflow: at any corpus size the expansion ships
+    * (groups−1)× the distinct key set into a distinct-aggregate exchange
+    * for a number already derivable from two O(groups) frames.
+    * `SPARK_GRAFT_Q46_EXU` overrides for re-measurement. */
+  private[operators] val Q46Exu: String =
+    sys.env.getOrElse("SPARK_GRAFT_Q46_EXU", "arith")
+
+  /** Sketch-input variant for q46 (VERDICT r14 #3 re-measure): "scan" (r12
+    * head) hashes a SECOND orders scan so the sketch branch fuses with its
+    * own scan; "dc" feeds the sketch from the checkpointed distinct —
+    * kmvSketchAgg dedups internally, so hashing the pre-deduped (prio, c)
+    * rows is equivalent and both the second scan and the per-duplicate md5
+    * work disappear. The r12 rejection of "dc" predates the KMV aggregate
+    * (the sketch side then needed its own distinct exchange);
+    * `SPARK_GRAFT_Q46_SKSRC` overrides for re-measurement. */
+  private[operators] val Q46SketchSrc: String =
+    sys.env.getOrElse("SPARK_GRAFT_Q46_SKSRC", "scan")
+
   /** q46's build, variant-parameterized for graft.tools.KmvAb. */
   private[graft] def q46Build(
       s: org.apache.spark.sql.SparkSession, d: String,
-      variant: String = KmvVariant): DataFrame = {
+      variant: String = KmvVariant,
+      exu: String = Q46Exu,
+      sketchSrc: String = Q46SketchSrc): DataFrame = {
     val o = Tables.load(s, d, "orders")
-    // the exact-truth side feeds three consumers (pair frame, exact
-    // union, exact intersection); checkpoint the distinct once instead
-    // of re-scanning orders per consumer
+    // the exact-truth side feeds every consumer (pair counts, exact
+    // intersection, optionally the sketch); checkpoint the distinct once
+    // instead of re-scanning orders per consumer
     val dc = ResultMemo.checkpointed(
       o.select(col("o_orderpriority").as("prio"),
         col("o_custkey").as("c")).distinct())
-    // the sketch side keeps its OWN orders scan rather than reading dc:
-    // feeding it from the checkpoint serializes the sketch behind dc's
-    // materialization and costs more jobs than the shared frame saves
-    // (measured 23 -> 28 jobs, 1.76 -> 2.1 s) — the two branches fuse
-    // with their scans and run concurrently instead
-    val keyed = o.select(col("o_orderpriority").as("prio"),
-      kmvHash(col("o_custkey")).as("h"))
+    val keyed = sketchSrc match {
+      case "dc" => dc.select(col("prio"), kmvHash(col("c")).as("h"))
+      case "scan" => o.select(col("o_orderpriority").as("prio"),
+        kmvHash(col("o_custkey")).as("h"))
+      case other => sys.error(s"unknown q46 sketch source $other")
+    }
     val sketch =
       thetaSetOps(kmvSketch(keyed, variant = variant).select("prio", "h"))
-    val ps = dc.select("prio").distinct()
-    val pr = ps.select(col("prio").as("pa"))
-      .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))
-    val exu = broadcast(pr).join(dc,
-        col("prio") === col("pa") || col("prio") === col("pb"))
-      .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
     val exi = dc.select(col("prio").as("pa"), col("c"))
       .join(dc.select(col("prio").as("pb"), col("c")),
         Seq("c")).filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_inter"))
-    sketch.join(exu, Seq("pa", "pb"))
-      .join(exi, Seq("pa", "pb"), "left")
+    val withUnion = exu match {
+      case "arith" =>
+        // |A ∪ B| = |A| + |B| − |A ∩ B|: integer counts, exact identity
+        val nk = dc.groupBy("prio").agg(count(lit(1)).as("n"))
+        val pr = nk.select(col("prio").as("pa"), col("n").as("na"))
+          .join(nk.select(col("prio").as("pb"), col("n").as("nb")),
+            col("pa") < col("pb"))
+        sketch.join(broadcast(pr), Seq("pa", "pb"))
+          .join(exi, Seq("pa", "pb"), "left")
+          .withColumn("n_union",
+            col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+      case "cdist" =>
+        val ps = dc.select("prio").distinct()
+        val pr = ps.select(col("prio").as("pa"))
+          .join(ps.select(col("prio").as("pb")), col("pa") < col("pb"))
+        val exuF = broadcast(pr).join(dc,
+            col("prio") === col("pa") || col("prio") === col("pb"))
+          .groupBy("pa", "pb").agg(countDistinct(col("c")).as("n_union"))
+        sketch.join(exuF, Seq("pa", "pb"))
+          .join(exi, Seq("pa", "pb"), "left")
+      case other => sys.error(s"unknown q46 exact-union variant $other")
+    }
+    withUnion
       .select(col("pa"), col("pb"), col("n_union"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_shared"),
         col("est_union"), col("est_inter"))

@@ -22,8 +22,13 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 object KmvAb {
   def main(args: Array[String]): Unit = {
     val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val modes = Set("check", "q46", "q46check")
     val reps =
-      if (args.length > 1 && args(1) != "check") args(1).toInt else 6
+      if (args.length > 1 && !modes(args(1))) args(1).toInt else 6
+    // rep 1 is excluded as warm-up, so reps=1 would run all the work and
+    // then crash on the empty accumulators (ADVICE r14)
+    require(args.lift(1).exists(modes) || reps >= 2,
+      "need reps >= 2: rep 1 is warm-up and is never accumulated")
     val spark = graft.GraftSession.get("kmv-ab")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -44,6 +49,57 @@ object KmvAb {
       String) => org.apache.spark.sql.DataFrame)](
       ("q45", graft.operators.Sketches.q45Build(_, _, _)),
       ("q46", graft.operators.Sketches.q46Build(_, _, _)))
+
+    // r15 mode "q46": interleave the exact-union × sketch-source knobs of
+    // q46Build (variant fixed to the adjudicated "agg") — the VERDICT r14 #3
+    // re-measure. "q46check" asserts all combos row-identical to the r14
+    // head (cdist+scan) first. Same methodology: A-B-A-B in one JVM, rep 1
+    // warm-up, build+execute timed together, jobs + shuffle deltas printed.
+    if (args.lift(1).exists(a => a == "q46" || a == "q46check")) {
+      val reps46 = if (args.length > 2) args(2).toInt else 6
+      val combos = Seq(
+        ("cdist", "scan"), // r14 head
+        ("arith", "scan"),
+        ("arith", "dc"),
+        ("cdist", "dc"))
+      def build(c: (String, String)) = graft.operators.Sketches
+        .q46Build(spark, d, "agg", exu = c._1, sketchSrc = c._2)
+      if (args.lift(1).contains("q46check")) {
+        val ref = build(combos.head).collect().toSeq
+        combos.tail.foreach { c =>
+          val rows = build(c).collect().toSeq
+          println(s"[kmvab] q46 check ${c._1}+${c._2}: rows=${rows.size} " +
+            s"identical_ordered=${rows == ref}")
+        }
+        spark.stop(); return
+      }
+      require(reps46 >= 2, "need reps >= 2: rep 1 is warm-up")
+      val acc = scala.collection.mutable.Map.empty[(String, String), List[Double]]
+      val jc = scala.collection.mutable.Map.empty[(String, String), List[Int]]
+      val sb = scala.collection.mutable.Map.empty[(String, String), List[Long]]
+      for (r <- 1 to reps46; c <- combos) {
+        val j0 = jobs.get(); val b0 = shuffleBytes.get()
+        val t0 = System.nanoTime()
+        graft.Force(build(c))
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50L)
+        if (r > 1) {
+          acc(c) = sec :: acc.getOrElse(c, Nil)
+          jc(c) = (jobs.get() - j0) :: jc.getOrElse(c, Nil)
+          sb(c) = (shuffleBytes.get() - b0) :: sb.getOrElse(c, Nil)
+        }
+        spark.sqlContext.clearCache()
+      }
+      combos.foreach { c =>
+        val name = s"${c._1}+${c._2}"
+        println(f"[kmvab] q46 $name%-11s best=${acc(c).min}%.3f s  " +
+          f"median=${acc(c).sorted.apply(acc(c).size / 2)}%.3f s  " +
+          f"(reps ${acc(c).reverse.map(x => f"$x%.3f").mkString(",")})  " +
+          s"jobs=${jc(c).reverse.mkString(",")}  " +
+          s"shuffleRWMB=${sb(c).reverse.map(b => f"${b / 1e6}%.2f").mkString(",")}")
+      }
+      spark.stop(); return
+    }
 
     if (args.lift(1).contains("check")) {
       for ((qn, fn) <- queries) {
@@ -85,7 +141,9 @@ object KmvAb {
             f"median=${acc(name).sorted.apply(acc(name).size / 2)}%.3f s  " +
             f"(reps ${acc(name).reverse.map(x => f"$x%.3f").mkString(",")})  " +
             s"jobs=${jc(name).reverse.mkString(",")}  " +
-            s"shuffleMB=${sb(name).reverse.map(b => f"${b / 1e6}%.2f").mkString(",")}")
+            // read+write COMBINED (every exchange counts twice): valid for
+            // relative A/B deltas, roughly 2× the absolute volume (ADVICE r14)
+            s"shuffleRWMB=${sb(name).reverse.map(b => f"${b / 1e6}%.2f").mkString(",")}")
         }
       }
     }
