@@ -558,10 +558,14 @@ object Sketches {
     * kmvSketchAgg dedups internally, so hashing the pre-deduped (prio, c)
     * rows is equivalent and both the second scan and the per-duplicate md5
     * work disappear. The r12 rejection of "dc" predates the KMV aggregate
-    * (the sketch side then needed its own distinct exchange);
-    * `SPARK_GRAFT_Q46_SKSRC` overrides for re-measurement. */
+    * (the sketch side then needed its own distinct exchange); re-measured
+    * at r15 HEAD per VERDICT r14 #3, "dc" is now the head: KmvAb q46 mode
+    * shows the old 23→28-job penalty gone (identical job counts either
+    * way) and best wall 2.84→2.39 s at sf0.1, 8.29→1.40 s at sf1, outputs
+    * byte-identical at both scales. `SPARK_GRAFT_Q46_SKSRC` overrides for
+    * re-measurement. */
   private[operators] val Q46SketchSrc: String =
-    sys.env.getOrElse("SPARK_GRAFT_Q46_SKSRC", "scan")
+    sys.env.getOrElse("SPARK_GRAFT_Q46_SKSRC", "dc")
 
   /** q46's build, variant-parameterized for graft.tools.KmvAb. */
   private[graft] def q46Build(

@@ -9,11 +9,17 @@ import graft._
   * queries it touched.
   *
   * Usage: runMain graft.tools.ExplainDump <outDir> <suffix> <q1,q2,...|all>
-  *        [sfDir]
+  *        [sfDir] [raw]
   * Writes <outDir>/<query>_<suffix>.txt containing the formatted plan of the
   * query frame as built (pre-execution, AQE initial plan — deterministic and
   * diffable round over round; the executed AQE-final shape is covered by
   * PLANS.md's jobs/exchange table).
+  *
+  * `raw` (r15): build under ResultMemo.bypass so the file shows the REAL
+  * dataflow — scans, exchanges, windows — instead of a checkpoint-scan stub
+  * wherever a memo/localCheckpoint would otherwise hide the subtree (q04's
+  * window pass, q46's shared distinct). Plan-structure claims in the
+  * optimization reports cite the raw files.
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
@@ -27,11 +33,13 @@ object ExplainDump {
       else args(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     java.nio.file.Files.createDirectories(outDir)
 
+    val raw = args.length > 4 && args(4) == "raw"
     val spark = GraftSession.get("graft-explain")
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query $n"))
-      val df = fn(spark, d)
+      val df = if (raw) graft.operators.ResultMemo.bypass(fn(spark, d))
+               else fn(spark, d)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
