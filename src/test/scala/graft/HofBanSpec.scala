@@ -88,23 +88,42 @@ class HofBanSpec extends SparkTestBase {
   test("no declared query runs an interpreted HOF below its first exchange") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val skipped = scala.collection.mutable.ListBuffer.empty[String]
-    operators.ResultMemo.bypass {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try {
-          val df = fn(spark, dir)
-          val hofs = scanSideHofs(df.queryExecution.sparkPlan)
-          if (hofs.nonEmpty && !whitelist.contains(name))
-            offenders += s"$name -> ${hofs.mkString("; ")}"
-          if (hofs.isEmpty && whitelist.contains(name))
-            info(s"whitelist entry $name no longer needed (no scan-side HOF)")
-        } catch {
-          // a query whose BUILD fails is the oracle gate's problem, not
-          // this plan audit's — record and move on so one env hiccup
-          // doesn't mask real offenders elsewhere
-          case e: Throwable => skipped += s"$name (${e.getClass.getSimpleName})"
+    val unneeded = scala.collection.mutable.ListBuffer.empty[String]
+    // The 132 plan builds are independent driver-side analysis; run them
+    // on a small pool (guide §2.6) — this audit alone was 1 min 56 s of
+    // the suite wall run sequentially (artifacts/r15/test_profile_r15.log).
+    // ResultMemo.bypass is THREAD-LOCAL, so it wraps each task, not the
+    // loop; result buffers are appended under their own lock. Same 132
+    // builds, same assertions.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Future {
+        operators.ResultMemo.bypass {
+          try {
+            val df = fn(spark, dir)
+            val hofs = scanSideHofs(df.queryExecution.sparkPlan)
+            if (hofs.nonEmpty && !whitelist.contains(name))
+              offenders.synchronized {
+                offenders += s"$name -> ${hofs.mkString("; ")}" }
+            if (hofs.isEmpty && whitelist.contains(name))
+              unneeded.synchronized { unneeded += name }
+          } catch {
+            // a query whose BUILD fails is the oracle gate's problem, not
+            // this plan audit's — record and move on so one env hiccup
+            // doesn't mask real offenders elsewhere
+            case e: Throwable => skipped.synchronized {
+              skipped += s"$name (${e.getClass.getSimpleName})" }
+          }
         }
       }
     }
+    try futures.foreach(f => Await.result(f, Duration.Inf))
+    finally pool.shutdown()
+    unneeded.foreach(n =>
+      info(s"whitelist entry $n no longer needed (no scan-side HOF)"))
     if (skipped.nonEmpty) info(s"builds skipped: ${skipped.mkString(", ")}")
     // Skips must be NAMED, like the HOF whitelist — the old blanket "≤3"
     // tolerance would let a refactor that breaks exactly 1-3 query builds

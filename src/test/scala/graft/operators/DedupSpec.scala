@@ -284,12 +284,27 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("random graphs agree with a reference union-find (50 seeds)") {
+    // Inputs are drawn SEQUENTIALLY (the rnd sequence pins the exact same
+    // 50 graphs as before), then the trials — independent multi-job Spark
+    // CC runs — execute on a small thread pool (guide §2.6: actions are
+    // only sequential because the driver calls them sequentially). Same
+    // trials, same assertions; this test alone was 3 min 55 s of the
+    // suite's 12-minute wall run back-to-back (artifacts/r15/
+    // test_profile_r15.log), dominated by per-job scheduling floors that
+    // overlap perfectly.
     val rnd = new scala.util.Random(42)
-    (1 to 50).foreach { trial =>
+    val trials = (1 to 50).map { trial =>
       val n = 4 + rnd.nextInt(12)
       val pairs = Seq.fill(2 + rnd.nextInt(10))(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
+      (trial, pairs)
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = trials.map { case (trial, pairs) => Future {
       if (pairs.nonEmpty) {
         // driver-side union-find ground truth
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -319,7 +334,9 @@ class DedupSpec extends SparkTestBase {
           assert(gotDF == want, s"trial $trial (DF star), pairs=$pairs")
         }
       }
-    }
+    }}
+    try futures.foreach(f => Await.result(f, Duration.Inf))
+    finally pool.shutdown()
   }
 
   test("adversarial graphs (cliques + chains + dup/self edges) at 100-300 nodes") {

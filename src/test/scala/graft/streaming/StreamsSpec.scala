@@ -249,6 +249,19 @@ class StreamsSpec extends SparkTestBase {
       // watermark to 60-10=50 after the batch commits
       input.addData((ts(1), "a"), (ts(2), "a"), (ts(60), "b"))
       q.processAllAvailable()
+      // The watermark advances when the NEXT batch is planned (normally
+      // the immediate no-data batch). Under heavy box load that planning
+      // can lag processAllAvailable, and feeding batch 2 first would test
+      // arrival order, not eviction semantics (observed once as a flake:
+      // the minute-3 row slipped in under watermark 0). Make the
+      // precondition explicit: wait until a started batch reports the
+      // advanced watermark before adding the late row.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline &&
+          !Option(q.lastProgress).exists(p =>
+            Option(p.eventTime.get("watermark"))
+              .exists(_ > "1970-01-01T00:00:01")))
+        Thread.sleep(50L)
       // batch 2: minute 3 is far below watermark 50 -> evicted; minute 55
       // is on time -> its window updates
       input.addData((ts(3), "a"), (ts(55), "b"))
